@@ -1,0 +1,201 @@
+"""Pure-Python reader for PyTorch ``.pt`` checkpoints → numpy pytrees.
+
+The reference ships two pretrained critic checkpoints in the *legacy*
+(non-zipfile) torch serialization format (reference: saved-networks/*.pt,
+loaded at vae_utility.py:363-370). This framework must ingest them without
+depending on torch, so this module implements both torch container formats
+from scratch:
+
+* **legacy format** (torch < 1.6 default): a concatenation of pickles —
+  magic number, protocol version, sys_info, the object pickle (tensors
+  referenced through persistent-id tuples ``('storage', type, key, location,
+  numel)``), a pickle of storage keys, then for each key an ``int64`` element
+  count followed by the raw little-endian storage bytes.
+* **zipfile format** (torch >= 1.6): ``archive/data.pkl`` plus one raw file
+  per storage under ``archive/data/``.
+
+Only tensor-bearing containers (dict/list/tuple of tensors and scalars) are
+reconstructed; arbitrary code-bearing pickles are rejected — ``find_class``
+whitelists the handful of symbols torch state_dicts actually use.
+"""
+
+from __future__ import annotations
+
+import io
+import pickle
+import struct
+import zipfile
+from collections import OrderedDict
+from typing import Any, BinaryIO, Dict
+
+import numpy as np
+
+try:  # bfloat16 support without torch; ml_dtypes ships with jax
+    import ml_dtypes
+
+    _BFLOAT16 = np.dtype(ml_dtypes.bfloat16)
+except ImportError:  # pragma: no cover
+    _BFLOAT16 = np.dtype(np.uint16)
+
+_LEGACY_MAGIC = 0x1950A86A20F9469CFC6C
+_LEGACY_PROTOCOL = 1001
+
+_STORAGE_DTYPES: Dict[str, np.dtype] = {
+    "FloatStorage": np.dtype("<f4"),
+    "DoubleStorage": np.dtype("<f8"),
+    "HalfStorage": np.dtype("<f2"),
+    "BFloat16Storage": _BFLOAT16,
+    "LongStorage": np.dtype("<i8"),
+    "IntStorage": np.dtype("<i4"),
+    "ShortStorage": np.dtype("<i2"),
+    "CharStorage": np.dtype("i1"),
+    "ByteStorage": np.dtype("u1"),
+    "BoolStorage": np.dtype("?"),
+}
+
+
+class _StorageType:
+    """Stand-in for ``torch.FloatStorage`` & co — carries only the dtype."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self.dtype = _STORAGE_DTYPES[name]
+
+
+class _LazyStorage:
+    """A storage referenced by the object pickle, filled in later."""
+
+    def __init__(self, key: str, dtype: np.dtype, numel: int | None):
+        self.key = key
+        self.dtype = dtype
+        self.numel = numel
+        self.data: np.ndarray | None = None
+
+
+class _TensorStub:
+    """Deferred tensor: (storage, offset, shape, stride) until data arrives."""
+
+    def __init__(self, storage: _LazyStorage, offset: int, shape, stride):
+        self.storage = storage
+        self.offset = offset
+        self.shape = tuple(shape)
+        self.stride = tuple(stride)
+
+    def materialize(self) -> np.ndarray:
+        data = self.storage.data
+        if data is None:
+            raise ValueError(f"storage {self.storage.key!r} was never loaded")
+        itemsize = data.dtype.itemsize
+        strides = tuple(s * itemsize for s in self.stride)
+        view = np.lib.stride_tricks.as_strided(
+            data[self.offset :], shape=self.shape, strides=strides, writeable=False
+        )
+        return np.ascontiguousarray(view)
+
+
+def _rebuild_tensor_v2(storage, offset, shape, stride, *_ignored):
+    return _TensorStub(storage, offset, shape, stride)
+
+
+def _rebuild_tensor(storage, offset, shape, stride):
+    return _TensorStub(storage, offset, shape, stride)
+
+
+class _Unpickler(pickle.Unpickler):
+    _ALLOWED = {
+        ("collections", "OrderedDict"): OrderedDict,
+        ("torch._utils", "_rebuild_tensor_v2"): _rebuild_tensor_v2,
+        ("torch._utils", "_rebuild_tensor"): _rebuild_tensor,
+        ("torch.serialization", "_get_layout"): lambda name: name,
+    }
+
+    def __init__(self, file: BinaryIO, storages: Dict[str, _LazyStorage]):
+        super().__init__(file, encoding="utf-8")
+        self._storages = storages
+
+    def find_class(self, module: str, name: str) -> Any:
+        if (module, name) in self._ALLOWED:
+            return self._ALLOWED[(module, name)]
+        if module == "torch" and name in _STORAGE_DTYPES:
+            return _StorageType(name)
+        if module == "torch" and name.endswith("Tensor"):
+            return name  # dead legacy metadata, never instantiated
+        raise pickle.UnpicklingError(
+            f"refusing to unpickle {module}.{name} from a torch checkpoint"
+        )
+
+    def persistent_load(self, pid: Any) -> Any:
+        if not (isinstance(pid, tuple) and pid and pid[0] == "storage"):
+            raise pickle.UnpicklingError(f"unknown persistent id {pid!r}")
+        _, storage_type, key, _location, *rest = pid
+        numel = rest[0] if rest else None
+        key = str(key)
+        if key not in self._storages:
+            self._storages[key] = _LazyStorage(key, storage_type.dtype, numel)
+        return self._storages[key]
+
+
+def _materialize(obj: Any) -> Any:
+    if isinstance(obj, _TensorStub):
+        return obj.materialize()
+    if isinstance(obj, OrderedDict):
+        return OrderedDict((k, _materialize(v)) for k, v in obj.items())
+    if isinstance(obj, dict):
+        return {k: _materialize(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_materialize(v) for v in obj]
+    if isinstance(obj, tuple):
+        return tuple(_materialize(v) for v in obj)
+    return obj
+
+
+def _load_legacy(f: BinaryIO) -> Any:
+    magic = pickle.load(f)
+    if magic != _LEGACY_MAGIC:
+        raise ValueError(f"bad legacy torch magic: {magic!r}")
+    protocol = pickle.load(f)
+    if protocol != _LEGACY_PROTOCOL:
+        raise ValueError(f"unsupported legacy torch protocol: {protocol!r}")
+    pickle.load(f)  # sys_info — unused
+
+    storages: Dict[str, _LazyStorage] = {}
+    obj = _Unpickler(f, storages).load()
+
+    key_order = pickle.load(f)
+    for key in key_order:
+        storage = storages[str(key)]
+        (numel,) = struct.unpack("<q", f.read(8))
+        nbytes = numel * storage.dtype.itemsize
+        raw = f.read(nbytes)
+        if len(raw) != nbytes:
+            raise ValueError(f"truncated storage {key!r}")
+        storage.data = np.frombuffer(raw, dtype=storage.dtype)
+    return _materialize(obj)
+
+
+def _load_zip(f: BinaryIO) -> Any:
+    with zipfile.ZipFile(f) as zf:
+        names = zf.namelist()
+        pkl_name = next(n for n in names if n.endswith("/data.pkl") or n == "data.pkl")
+        prefix = pkl_name[: -len("data.pkl")]
+        storages: Dict[str, _LazyStorage] = {}
+        with zf.open(pkl_name) as pf:
+            obj = _Unpickler(io.BytesIO(pf.read()), storages).load()
+        for key, storage in storages.items():
+            raw = zf.read(f"{prefix}data/{key}")
+            storage.data = np.frombuffer(raw, dtype=storage.dtype)
+    return _materialize(obj)
+
+
+def load_torch_pt(path: str) -> Any:
+    """Load a torch ``.pt`` checkpoint as numpy arrays (no torch required).
+
+    Handles both the legacy and the zipfile container formats. Returns the
+    pickled object with every tensor replaced by a contiguous ``np.ndarray``.
+    """
+    with open(path, "rb") as f:
+        if zipfile.is_zipfile(f):
+            f.seek(0)
+            return _load_zip(f)
+        f.seek(0)
+        return _load_legacy(f)

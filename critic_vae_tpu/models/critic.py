@@ -1,0 +1,122 @@
+"""The frozen critic CNN as a pure JAX function (TPU-native, NHWC).
+
+Capability parity with the reference critic (reference: critic_net.py:5-69):
+a binary tree-trunk classifier over 64×64 RGB frames —
+4×[conv3×3 + ReLU + maxpool2] with channel dims (8, 8, 8, 16), a valid 4×4
+conv to a 32-d embedding, then Linear(32→32)+ReLU, Linear(32→1), sigmoid.
+Dropout layers exist only at train time in the reference and the critic is
+always used frozen/eval (critic_net.py:66-69), so they are identity here.
+
+Differences from the reference by design:
+* **NHWC layout** — feature maps live as (B, H, W, C), the native TPU layout;
+  torch OIHW conv weights are transposed to HWIO once at load time.
+* **Batched** — the reference calls the critic at batch size 1 per frame in
+  every pipeline (vae.py:88, vae_utility.py:173, vae_utility.py:419); here
+  every entry point is shape-polymorphic in the leading batch dim and the
+  pipelines batch thousands of frames per call.
+* ``collect=True`` feature-map taps (critic_net.py:49-52) are provided by
+  :func:`critic_apply` with ``collect=True``, returning post-pool activations.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, jnp.ndarray]
+
+
+def _conv_same(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """3×3 stride-1 SAME conv, NHWC/HWIO."""
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + b
+
+
+def _maxpool2(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+
+
+def critic_apply(
+    params: Params, x: jnp.ndarray, *, collect: bool = False
+) -> jnp.ndarray | Tuple[jnp.ndarray, List[jnp.ndarray]]:
+    """Tree-trunk probability for a batch of frames.
+
+    Args:
+      params: critic parameter pytree (see :func:`critic_params_from_torch`).
+      x: (B, 64, 64, 3) float frames in [0, 1], NHWC.
+      collect: also return the post-pool feature maps (reference
+        critic_net.py:49-52 ``collect`` path).
+
+    Returns:
+      (B, 1) probabilities in (0, 1); with ``collect``, also a list of five
+      intermediate activations.
+    """
+    dtype = x.dtype
+    embeds: List[jnp.ndarray] = []
+    for i in range(4):
+        x = _conv_same(x, params[f"conv{i}_w"].astype(dtype), params[f"conv{i}_b"].astype(dtype))
+        x = jax.nn.relu(x)
+        x = _maxpool2(x)
+        if collect:
+            embeds.append(x)
+    # valid 4×4 conv: (B,4,4,16) → (B,1,1,32)
+    x = jax.lax.conv_general_dilated(
+        x, params["conv4_w"].astype(dtype), window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + params["conv4_b"].astype(dtype)
+    x = jax.nn.relu(x)
+    if collect:
+        embeds.append(x)
+
+    h = x.reshape(x.shape[0], -1)  # (B, 32)
+    h = jax.nn.relu(h @ params["fc0_w"].astype(dtype) + params["fc0_b"].astype(dtype))
+    logit = h @ params["fc1_w"].astype(dtype) + params["fc1_b"].astype(dtype)
+    pred = jax.nn.sigmoid(logit)
+    if collect:
+        return pred, embeds
+    return pred
+
+
+def critic_params_from_torch(state_dict: Dict[str, np.ndarray]) -> Params:
+    """Convert a torch critic state_dict (OIHW convs) to the NHWC pytree.
+
+    Key mapping follows the reference module indices (critic_net.py:15-42):
+    features.{0,3,6,10,14} are the convs, crit.{1,4} the linears. Conv weights
+    transpose OIHW→HWIO; linear weights transpose (out,in)→(in,out) so the
+    apply path is a plain right-multiply.
+    """
+    conv_keys = ["features.0", "features.3", "features.6", "features.10"]
+    params: Params = {}
+    for i, key in enumerate(conv_keys):
+        params[f"conv{i}_w"] = jnp.asarray(
+            np.transpose(state_dict[f"{key}.weight"], (2, 3, 1, 0))
+        )
+        params[f"conv{i}_b"] = jnp.asarray(state_dict[f"{key}.bias"])
+    params["conv4_w"] = jnp.asarray(
+        np.transpose(state_dict["features.14.weight"], (2, 3, 1, 0))
+    )
+    params["conv4_b"] = jnp.asarray(state_dict["features.14.bias"])
+    params["fc0_w"] = jnp.asarray(state_dict["crit.1.weight"].T)
+    params["fc0_b"] = jnp.asarray(state_dict["crit.1.bias"])
+    params["fc1_w"] = jnp.asarray(state_dict["crit.4.weight"].T)
+    params["fc1_b"] = jnp.asarray(state_dict["crit.4.bias"])
+    return params
+
+
+def load_critic(path: str) -> Params:
+    """Load a pretrained critic ``.pt`` into a JAX pytree (no torch).
+
+    TPU-native replacement for the reference's ``load_critic``
+    (vae_utility.py:363-370).
+    """
+    from critic_vae_tpu.io.legacy_pt import load_torch_pt
+
+    return critic_params_from_torch(load_torch_pt(path))

@@ -1,0 +1,291 @@
+"""Critic-conditioned VAE as pure JAX functions (TPU-native, NHWC).
+
+Capability parity with the reference model (reference: vae_nets.py:7-147):
+
+* **Encoder** — 4×[conv5×5 s1 SAME → BatchNorm → maxpool2 → ReLU], channel
+  dims (32, 64, 128, 256), last block Tanh instead of ReLU
+  (vae_nets.py:68-88); flatten to 4096, then fc_mu / fc_var to a 32-d latent
+  (vae_nets.py:98-99).
+* **Reparameterization** — z = mu + eps·exp(0.5·logvar) (vae_nets.py:48-51).
+* **Decoder** — the *critic value is concatenated onto the latent*
+  (vae_nets.py:137,143): Linear(33→4096), reshape to a 4×4×256 feature map,
+  4×[conv5×5 → ReLU → 2× nearest-neighbor upsample], final conv to 3 channels
+  + Tanh (vae_nets.py:116-135).
+
+TPU-first design choices (not a translation):
+
+* NHWC activations / HWIO weights throughout; torch checkpoints are
+  transposed once at ingestion (:func:`vae_params_from_torch`).
+* Everything is batched — the reference's `evaluate`/`inject` paths
+  special-case batch size 1 (vae_nets.py:140-142); here `decode` is
+  shape-polymorphic and the pipelines drive it with thousands of frames.
+* BatchNorm is functional: batch statistics are returned as a new state
+  pytree instead of mutated in place. Under data parallelism the batch axis
+  is sharded over the mesh and ``jnp.mean`` over it compiles to an XLA
+  cross-replica reduction, so BN statistics are *global* batch statistics —
+  exactly matching single-device semantics (documented choice, SURVEY §7f).
+* The flatten between conv stack and fc layers uses channel-major element
+  order (transpose to (B, C, H, W) before reshape) so that torch fc weights
+  ingest without reindexing; XLA folds the transpose into the matmul.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+State = Dict[str, Any]
+
+ENCODER_DIMS = (32, 64, 128, 256)
+LATENT_DIM = 32
+BOTTLENECK = 4096
+_BN_EPS = 1e-5
+_BN_MOMENTUM = 0.1
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def _uniform(key, shape, bound, dtype=jnp.float32):
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def _init_conv(key, kh, kw, cin, cout):
+    wkey, bkey = jax.random.split(key)
+    bound = 1.0 / np.sqrt(cin * kh * kw)
+    return {
+        "w": _uniform(wkey, (kh, kw, cin, cout), bound),
+        "b": _uniform(bkey, (cout,), bound),
+    }
+
+
+def _init_linear(key, cin, cout):
+    wkey, bkey = jax.random.split(key)
+    bound = 1.0 / np.sqrt(cin)
+    return {
+        "w": _uniform(wkey, (cin, cout), bound),
+        "b": _uniform(bkey, (cout,), bound),
+    }
+
+
+def init_vae_params(
+    key: jax.Array, dims: Tuple[int, ...] = ENCODER_DIMS, channels: int = 3,
+    latent_dim: int = LATENT_DIM, bottleneck: int = BOTTLENECK,
+) -> Tuple[Params, State]:
+    """Initialize VAE params + BN state (weight dists match torch defaults)."""
+    keys = jax.random.split(key, 16)
+    enc: Params = {}
+    cin = channels
+    for i, cout in enumerate(dims):
+        enc[f"conv{i}"] = _init_conv(keys[i], 5, 5, cin, cout)
+        enc[f"bn{i}"] = {
+            "scale": jnp.ones((cout,), jnp.float32),
+            "bias": jnp.zeros((cout,), jnp.float32),
+        }
+        cin = cout
+    enc["fc_mu"] = _init_linear(keys[4], bottleneck, latent_dim)
+    enc["fc_var"] = _init_linear(keys[5], bottleneck, latent_dim)
+
+    dec: Params = {"input": _init_linear(keys[6], latent_dim + 1, bottleneck)}
+    dec_dims = [(dims[3], dims[2]), (dims[2], dims[1]), (dims[1], dims[0]),
+                (dims[0], dims[0]), (dims[0], channels)]
+    for i, (ci, co) in enumerate(dec_dims):
+        dec[f"conv{i}"] = _init_conv(keys[7 + i], 5, 5, ci, co)
+
+    state: State = {
+        f"bn{i}": {
+            "mean": jnp.zeros((c,), jnp.float32),
+            "var": jnp.ones((c,), jnp.float32),
+        }
+        for i, c in enumerate(dims)
+    }
+    return {"encoder": enc, "decoder": dec}, state
+
+
+# ---------------------------------------------------------------------------
+# apply
+# ---------------------------------------------------------------------------
+
+
+def _conv5_same(x, w, b):
+    y = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + b.astype(x.dtype)
+
+
+def _maxpool2(x):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+
+
+def _batchnorm(x, p, s, train: bool):
+    """Functional BatchNorm2d; stats in float32. Returns (y, new_running)."""
+    if train:
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(0, 1, 2))
+        var = jnp.var(xf, axis=(0, 1, 2))
+        n = x.shape[0] * x.shape[1] * x.shape[2]
+        unbiased = var * (n / max(n - 1, 1))
+        new_running = {
+            "mean": (1 - _BN_MOMENTUM) * s["mean"] + _BN_MOMENTUM * mean,
+            "var": (1 - _BN_MOMENTUM) * s["var"] + _BN_MOMENTUM * unbiased,
+        }
+    else:
+        mean, var = s["mean"], s["var"]
+        new_running = s
+    inv = jax.lax.rsqrt(var + _BN_EPS) * p["scale"]
+    y = (x.astype(jnp.float32) - mean) * inv + p["bias"]
+    return y.astype(x.dtype), new_running
+
+
+def encode(
+    params: Params, state: State, x: jnp.ndarray, *, train: bool = False
+) -> Tuple[jnp.ndarray, jnp.ndarray, State]:
+    """x (B,64,64,3) → (mu, logvar) each (B,32), plus updated BN state."""
+    enc = params["encoder"]
+    new_state: State = {}
+    for i in range(4):
+        x = _conv5_same(x, enc[f"conv{i}"]["w"], enc[f"conv{i}"]["b"])
+        x, new_state[f"bn{i}"] = _batchnorm(x, enc[f"bn{i}"], state[f"bn{i}"], train)
+        x = _maxpool2(x)
+        x = jnp.tanh(x) if i == 3 else jax.nn.relu(x)
+    # channel-major flatten for torch fc-weight layout compatibility
+    flat = jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)
+    mu = flat @ enc["fc_mu"]["w"].astype(flat.dtype) + enc["fc_mu"]["b"].astype(flat.dtype)
+    logvar = flat @ enc["fc_var"]["w"].astype(flat.dtype) + enc["fc_var"]["b"].astype(flat.dtype)
+    return mu, logvar, new_state
+
+
+def reparametrize(key: jax.Array, mu: jnp.ndarray, logvar: jnp.ndarray) -> jnp.ndarray:
+    """z = mu + eps·std (reference: vae_nets.py:48-51)."""
+    std = jnp.exp(0.5 * logvar)
+    eps = jax.random.normal(key, mu.shape, mu.dtype)
+    return mu + eps * std
+
+
+def decode(params: Params, z: jnp.ndarray, value: jnp.ndarray) -> jnp.ndarray:
+    """Decode latents with injected critic values.
+
+    Args:
+      params: full VAE param pytree.
+      z: (B, 32) latents.
+      value: (B,) or (B, 1) critic values, concatenated onto the latent
+        (the defining trick of the reference — vae_nets.py:143).
+
+    Returns:
+      (B, 64, 64, 3) reconstructions in (-1, 1) (final Tanh).
+    """
+    dec = params["decoder"]
+    if value.ndim == 1:
+        value = value[:, None]
+    zin = jnp.concatenate([z, value.astype(z.dtype)], axis=1)  # (B, 33)
+    h = zin @ dec["input"]["w"].astype(z.dtype) + dec["input"]["b"].astype(z.dtype)
+    # channel-major unflatten, then to NHWC (torch views 4096 as (256,4,4))
+    x = h.reshape(-1, 256, 4, 4).transpose(0, 2, 3, 1)
+    for i in range(4):
+        x = _conv5_same(x, dec[f"conv{i}"]["w"], dec[f"conv{i}"]["b"])
+        x = jax.nn.relu(x)
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # nearest ×2
+    x = _conv5_same(x, dec["conv4"]["w"], dec["conv4"]["b"])
+    return jnp.tanh(x)
+
+
+def vae_apply(
+    params: Params, state: State, key: jax.Array, x: jnp.ndarray,
+    value: jnp.ndarray, *, train: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, State]:
+    """Full stochastic forward pass (reference: vae_nets.py:14-19).
+
+    Returns (recon, mu, logvar, new_state).
+    """
+    mu, logvar, new_state = encode(params, state, x, train=train)
+    z = reparametrize(key, mu, logvar)
+    recon = decode(params, z, value)
+    return recon, mu, logvar, new_state
+
+
+def evaluate(params: Params, state: State, x: jnp.ndarray, value: jnp.ndarray) -> jnp.ndarray:
+    """Deterministic mu-decode (reference: vae_nets.py:42-46), batched."""
+    mu, _, _ = encode(params, state, x, train=False)
+    return decode(params, mu, value)
+
+
+def inject(
+    params: Params, state: State, x: jnp.ndarray,
+    values: jnp.ndarray = None,
+) -> jnp.ndarray:
+    """Decode each frame's mu at a ladder of injected critic values.
+
+    Reference loops 6 separate decoder calls per image (vae_nets.py:31-40);
+    here all B×K decodes run as one batched call.
+
+    Returns (B, K, 64, 64, 3).
+    """
+    if values is None:
+        values = jnp.array([0.0, 0.2, 0.4, 0.6, 0.8, 1.0], jnp.float32)
+    mu, _, _ = encode(params, state, x, train=False)
+    b, k = mu.shape[0], values.shape[0]
+    mu_rep = jnp.repeat(mu, k, axis=0)  # (B*K, 32)
+    val_rep = jnp.tile(values, b)  # (B*K,)
+    recon = decode(params, mu_rep, val_rep)
+    return recon.reshape(b, k, *recon.shape[1:])
+
+
+# ---------------------------------------------------------------------------
+# torch checkpoint ingestion
+# ---------------------------------------------------------------------------
+
+
+def vae_params_from_torch(
+    encoder_sd: Dict[str, np.ndarray], decoder_sd: Dict[str, np.ndarray]
+) -> Tuple[Params, State]:
+    """Convert reference encoder/decoder state_dicts (saved separately,
+    vae.py:162-163) into the NHWC param + BN-state pytrees.
+
+    Torch module indices: encoder convs at model.{0,4,8,12}, BN at
+    model.{1,5,9,13} (vae_nets.py:68-88); decoder convs at model.{0,3,6,9,12}
+    plus decoder_input (vae_nets.py:116-137).
+    """
+    def conv(sd, key):
+        return {
+            "w": jnp.asarray(np.transpose(sd[f"{key}.weight"], (2, 3, 1, 0))),
+            "b": jnp.asarray(sd[f"{key}.bias"]),
+        }
+
+    def linear(sd, key):
+        return {"w": jnp.asarray(sd[f"{key}.weight"].T), "b": jnp.asarray(sd[f"{key}.bias"])}
+
+    enc: Params = {}
+    state: State = {}
+    for i, idx in enumerate((0, 4, 8, 12)):
+        enc[f"conv{i}"] = conv(encoder_sd, f"model.{idx}")
+        bn = f"model.{idx + 1}"
+        enc[f"bn{i}"] = {
+            "scale": jnp.asarray(encoder_sd[f"{bn}.weight"]),
+            "bias": jnp.asarray(encoder_sd[f"{bn}.bias"]),
+        }
+        state[f"bn{i}"] = {
+            "mean": jnp.asarray(encoder_sd[f"{bn}.running_mean"]),
+            "var": jnp.asarray(encoder_sd[f"{bn}.running_var"]),
+        }
+    enc["fc_mu"] = linear(encoder_sd, "fc_mu")
+    enc["fc_var"] = linear(encoder_sd, "fc_var")
+
+    dec: Params = {"input": linear(decoder_sd, "decoder_input")}
+    for i, idx in enumerate((0, 3, 6, 9, 12)):
+        dec[f"conv{i}"] = conv(decoder_sd, f"model.{idx}")
+
+    return {"encoder": enc, "decoder": dec}, state
+
+
+def param_count(params: Params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))

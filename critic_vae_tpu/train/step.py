@@ -1,0 +1,116 @@
+"""The fused, sharded VAE train step.
+
+The reference's training iteration is a chain of separate host-driven torch
+calls — critic labels, forward, loss, backward, Adam step (reference:
+vae.py:44-58), with the frozen critic re-scoring every batch on the fly
+(vae.py:50). Here the *entire* iteration is one jitted function: critic
+inference, encode → reparametrize → decode, MS-SSIM+KL loss, backward, and
+the Adam update all compile into a single XLA executable, so weights,
+activations and optimizer state never leave the device between steps.
+
+Data parallelism: the batch argument is sharded along the mesh's ``data``
+axis while params/opt state are replicated; XLA turns the implied gradient
+reduction into ICI all-reduces (no hand-written collectives — SURVEY §2.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from critic_vae_tpu.models import critic as critic_mod
+from critic_vae_tpu.models import vae as vae_mod
+from critic_vae_tpu.ops.losses import vae_loss
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    """All mutable training state as one pytree (params, BN stats, Adam
+    moments, RNG, step counter). The reference keeps none of this — it saves
+    only final weights with no optimizer state or resume (vae.py:162-163)."""
+
+    params: Any
+    bn_state: Any
+    opt_state: Any
+    rng: jax.Array
+    step: jax.Array
+
+
+def init_train_state(
+    key: jax.Array, learning_rate: float = 5e-5
+) -> Tuple[TrainState, optax.GradientTransformation]:
+    """Fresh VAE params + Adam state (lr 5e-5, torch-default betas/eps —
+    reference: vae.py:36, vae_parameters.py:11)."""
+    pkey, rkey = jax.random.split(key)
+    params, bn_state = vae_mod.init_vae_params(pkey)
+    tx = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    opt_state = tx.init(params)
+    return (
+        TrainState(params, bn_state, opt_state, rkey, jnp.zeros((), jnp.int32)),
+        tx,
+    )
+
+
+def make_train_step(
+    critic_params: Any,
+    tx: optax.GradientTransformation,
+    *,
+    kld_weight: float = 1e-3,
+    faithful_msssim: bool = True,
+    mesh: Optional[Mesh] = None,
+    compute_dtype: jnp.dtype = jnp.float32,
+    donate: bool = True,
+):
+    """Build the jitted train step.
+
+    Returns ``step(state, batch) -> (state, metrics)`` where ``batch`` is
+    (B, 64, 64, 3) float frames in [0, 1] and metrics are scalar
+    total/recon/kld losses (reference loss structure: vae_nets.py:53-62).
+    """
+
+    def step(state: TrainState, batch: jnp.ndarray):
+        rng, sample_key = jax.random.split(state.rng)
+        x = batch.astype(compute_dtype)
+        # Frozen critic labels computed on the fly, inside the same XLA
+        # program (reference recomputes them per batch too — vae.py:50).
+        preds = jax.lax.stop_gradient(critic_mod.critic_apply(critic_params, x))
+
+        def loss_fn(params):
+            recon, mu, logvar, new_bn = vae_mod.vae_apply(
+                params, state.bn_state, sample_key, x, preds, train=True
+            )
+            losses = vae_loss(
+                x.astype(jnp.float32),
+                mu.astype(jnp.float32),
+                logvar.astype(jnp.float32),
+                recon.astype(jnp.float32),
+                kld_weight=kld_weight,
+                faithful=faithful_msssim,
+            )
+            return losses["total_loss"], (losses, new_bn)
+
+        grads, (losses, new_bn) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            new_params, new_bn, new_opt, rng, state.step + 1
+        )
+        return new_state, losses
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data", None, None, None))
+        scalar = NamedSharding(mesh, P())
+        return jax.jit(
+            step,
+            in_shardings=(repl, data),
+            out_shardings=(repl, scalar),
+            donate_argnums=(0,) if donate else (),
+        )
+    return jax.jit(step, donate_argnums=(0,) if donate else ())

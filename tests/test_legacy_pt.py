@@ -1,0 +1,73 @@
+"""Legacy torch .pt reader tests (pure Python vs torch.load ground truth)."""
+
+import numpy as np
+import pytest
+
+from critic_vae_tpu.io.legacy_pt import load_torch_pt
+from tests.conftest import CRITIC_PT, CRITIC_PT_2, requires_reference, requires_torch
+
+
+@requires_reference
+@pytest.mark.parametrize("path", [CRITIC_PT, CRITIC_PT_2])
+def test_bundled_critic_structure(path):
+    sd = load_torch_pt(path)
+    # known structure: 14 tensors, 11,873 params (SURVEY §2.1 #6)
+    assert len(sd) == 14
+    assert sum(v.size for v in sd.values()) == 11873
+    assert sd["features.0.weight"].shape == (8, 3, 3, 3)
+    assert sd["crit.4.bias"].shape == (1,)
+    assert all(v.dtype == np.float32 for v in sd.values())
+
+
+@requires_reference
+@requires_torch
+@pytest.mark.parametrize("path", [CRITIC_PT, CRITIC_PT_2])
+def test_bit_exact_vs_torch(path):
+    import torch
+
+    ours = load_torch_pt(path)
+    ref = torch.load(path, weights_only=True, map_location="cpu")
+    assert set(ours) == set(ref)
+    for k in ref:
+        np.testing.assert_array_equal(ours[k], ref[k].numpy())
+
+
+@requires_torch
+def test_zipfile_format_roundtrip(tmp_path):
+    import torch
+
+    obj = {
+        "a.weight": torch.arange(12, dtype=torch.float32).reshape(3, 4),
+        "b.bias": torch.tensor([1.5, -2.0]),
+        "c.long": torch.tensor([1, 2, 3], dtype=torch.int64),
+    }
+    p = tmp_path / "modern.pt"
+    torch.save(obj, p)  # zipfile format
+    out = load_torch_pt(str(p))
+    for k in obj:
+        np.testing.assert_array_equal(out[k], obj[k].numpy())
+
+
+@requires_torch
+def test_legacy_format_roundtrip(tmp_path):
+    import torch
+
+    obj = {"w": torch.randn(5, 7), "noncontig": torch.randn(6, 8).t()}
+    p = tmp_path / "legacy.pt"
+    torch.save(obj, p, _use_new_zipfile_serialization=False)
+    out = load_torch_pt(str(p))
+    for k in obj:
+        np.testing.assert_array_equal(out[k], obj[k].numpy())
+
+
+def test_rejects_arbitrary_globals(tmp_path):
+    import pickle
+
+    p = tmp_path / "evil.pt"
+    with open(p, "wb") as f:
+        pickle.dump(0x1950A86A20F9469CFC6C, f)
+        pickle.dump(1001, f)
+        pickle.dump({}, f)
+        f.write(b"cos\nsystem\n(S'true'\ntR.")
+    with pytest.raises(Exception):
+        load_torch_pt(str(p))

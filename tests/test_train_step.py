@@ -1,0 +1,81 @@
+"""Train-step tests: loss descent, determinism, and DP mesh equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from critic_vae_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from critic_vae_tpu.train.step import init_train_state, make_train_step
+from tests.conftest import requires_reference
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(0)
+    return rng.random((16, 64, 64, 3), dtype=np.float32)
+
+
+@requires_reference
+def test_loss_decreases(critic_params, batch):
+    state, tx = init_train_state(jax.random.key(0))
+    step = make_train_step(critic_params, tx, donate=False)
+    first = None
+    b = jnp.asarray(batch)
+    for i in range(30):
+        state, metrics = step(state, b)
+        if first is None:
+            first = float(metrics["total_loss"])
+    last = float(metrics["total_loss"])
+    assert np.isfinite(last)
+    assert last < first, (first, last)
+
+
+@requires_reference
+def test_bn_state_and_step_advance(critic_params, batch):
+    state, tx = init_train_state(jax.random.key(0))
+    step = make_train_step(critic_params, tx, donate=False)
+    new_state, _ = step(state, jnp.asarray(batch))
+    assert int(new_state.step) == 1
+    before = jax.tree.leaves(state.bn_state)
+    after = jax.tree.leaves(new_state.bn_state)
+    assert any(not np.array_equal(a, b) for a, b in zip(before, after))
+
+
+@requires_reference
+def test_data_parallel_equivalence(critic_params, batch):
+    """A DP step over the 8-device mesh must match the single-device step:
+    same params, same loss (global BN stats + allreduced grads ⇒ identical
+    math, SURVEY §4c)."""
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    mesh = make_mesh(8)
+
+    state1, tx = init_train_state(jax.random.key(0))
+    step1 = make_train_step(critic_params, tx, donate=False)
+    state8 = replicate(mesh, jax.tree.map(jnp.copy, state1))
+    critic8 = replicate(mesh, critic_params)
+    step8 = make_train_step(critic8, tx, mesh=mesh, donate=False)
+
+    b1 = jnp.asarray(batch)
+    b8 = shard_batch(mesh, batch)
+    with jax.default_matmul_precision("highest"):
+        for _ in range(3):
+            state1, m1 = step1(state1, b1)
+            state8, m8 = step8(state8, b8)
+    np.testing.assert_allclose(
+        float(m1["total_loss"]), float(m8["total_loss"]), rtol=2e-4
+    )
+    for a, b in zip(jax.tree.leaves(state1.params), jax.tree.leaves(state8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+@requires_reference
+def test_deterministic_given_same_state(critic_params, batch):
+    s0, tx = init_train_state(jax.random.key(0))
+    step = make_train_step(critic_params, tx, donate=False)
+    b = jnp.asarray(batch)
+    a1, m1 = step(jax.tree.map(jnp.copy, s0), b)
+    a2, m2 = step(jax.tree.map(jnp.copy, s0), b)
+    assert float(m1["total_loss"]) == float(m2["total_loss"])
+    for x, y in zip(jax.tree.leaves(a1.params), jax.tree.leaves(a2.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
