@@ -1,0 +1,331 @@
+"""Command-line interface.
+
+Subcommand-per-mode replacement for the reference's seven boolean flags on
+one script (reference: vae.py:23-31, dispatch at vae.py:111-166):
+
+    python -m critic_vae_tpu train       ≙ vae.py -train
+    python -m critic_vae_tpu eval        ≙ vae.py            (image eval)
+    python -m critic_vae_tpu inject      ≙ vae.py -inject
+    python -m critic_vae_tpu video       ≙ vae.py -video
+    python -m critic_vae_tpu video --sweep ≙ vae.py -video -thresh
+    python -m critic_vae_tpu dataset     ≙ vae.py -dataset
+    python -m critic_vae_tpu second      ≙ vae.py -second
+    python -m critic_vae_tpu evalsecond  ≙ vae.py -evalsecond
+
+All hyperparameters default to the reference's values (vae_parameters.py)
+and are overridable per flag — the reference requires editing its constants
+module.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+from critic_vae_tpu.config import Config, default_config
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--root", default=".", help="working directory (paths resolve against it)")
+    p.add_argument("--critic", default=None, help="critic .pt checkpoint path")
+    p.add_argument("--seed", type=int, default=0)
+
+
+def _add_vae_weights(p: argparse.ArgumentParser, second: bool = False) -> None:
+    p.add_argument("--encoder", default=None, help="encoder checkpoint (.npz)")
+    p.add_argument("--decoder", default=None, help="decoder checkpoint (.npz)")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="critic_vae_tpu",
+        description="TPU-native critic-conditioned VAE framework",
+    )
+    sub = ap.add_subparsers(dest="mode", required=True)
+
+    t = sub.add_parser("train", help="train the VAE (reference: -train)")
+    _add_common(t)
+    t.add_argument("--source", default="synthetic", help="trajectory source: synthetic[:N[:T]] | minerl:<root> | <npy dir>")
+    t.add_argument("--epochs", type=int, default=7)
+    t.add_argument("--batch-size", type=int, default=128)
+    t.add_argument("--lr", type=float, default=5e-5)
+    t.add_argument("--kld-weight", type=float, default=1e-3)
+    t.add_argument("--total-images", type=int, default=50_000)
+    t.add_argument("--no-resume", action="store_true")
+    t.add_argument("--log-dir", default=None)
+
+    for name, help_ in (("eval", "evaluate source images (reference default mode)"),
+                        ("inject", "injection ladder strips (reference: -inject)"),
+                        ("evalsecond", "evaluate with second-VAE weights (reference: -evalsecond)")):
+        e = sub.add_parser(name, help=help_)
+        _add_common(e)
+        _add_vae_weights(e)
+        e.add_argument("--images", default=None, help="source images directory")
+        e.add_argument("--out", default=None, help="output directory")
+
+    v = sub.add_parser("video", help="mask-video pipeline (reference: -video [-thresh])")
+    _add_common(v)
+    _add_vae_weights(v)
+    v.add_argument("--episode", default=None, help="episode dir with X.npy/Y.npy")
+    v.add_argument("--threshold", type=int, default=50)
+    v.add_argument("--sweep", action="store_true", help="threshold sweep 0..120 (reference: -thresh)")
+    v.add_argument("--no-crf", action="store_true")
+    v.add_argument("--no-gif", action="store_true")
+    v.add_argument(
+        "--no-slice", action="store_true",
+        help="use every episode frame instead of the reference's [100:5000:2] slice",
+    )
+    v.add_argument("--batch-size", type=int, default=512)
+
+    d = sub.add_parser("dataset", help="build recon dataset (reference: -dataset)")
+    _add_common(d)
+    _add_vae_weights(d)
+    d.add_argument("--source", default="synthetic")
+    d.add_argument("--out", default=None, help="output .npz path")
+    d.add_argument("--total-images", type=int, default=50_000)
+
+    s = sub.add_parser("second", help="train second VAE on recon dataset (reference: -second)")
+    _add_common(s)
+    s.add_argument("--dataset", dest="dataset_path", default=None)
+    s.add_argument("--epochs", type=int, default=7)
+    s.add_argument("--batch-size", type=int, default=128)
+    s.add_argument("--lr", type=float, default=5e-5)
+
+    return ap
+
+
+def _cfg(args) -> Config:
+    return default_config(args.root)
+
+
+def _critic(args, cfg: Config):
+    from critic_vae_tpu.models.critic import load_critic
+
+    path = args.critic or str(cfg.paths.resolve(cfg.paths.critic_path))
+    return load_critic(path)
+
+
+def _load_vae(args, cfg: Config, second: bool = False):
+    import jax
+
+    from critic_vae_tpu.models.vae import init_vae_params
+    from critic_vae_tpu.pipelines.train import load_final_weights
+
+    params, bn = init_vae_params(jax.random.key(args.seed))
+    enc = args.encoder or str(
+        cfg.paths.resolve(cfg.paths.second_encoder_path if second else cfg.paths.encoder_path)
+    )
+    dec = args.decoder or str(
+        cfg.paths.resolve(cfg.paths.second_decoder_path if second else cfg.paths.decoder_path)
+    )
+    return load_final_weights(enc, dec, params, bn)
+
+
+def _collect_training_set(args, cfg, critic_params) -> np.ndarray:
+    from critic_vae_tpu.data.sampler import balanced_critic_sampler
+    from critic_vae_tpu.data.sources import open_source
+
+    print(f"collecting balanced training frames from {args.source!r}...")
+    dset = balanced_critic_sampler(
+        open_source(args.source),
+        critic_params,
+        total_images=args.total_images,
+        progress=lambda n: print(f"total images = {n}", end="\r"),
+    )
+    print(f"\ncollected {len(dset)} frames")
+    return dset
+
+
+def cmd_train(args) -> int:
+    cfg = _cfg(args)
+    critic_params = _critic(args, cfg)
+    dset = _collect_training_set(args, cfg, critic_params)
+    from critic_vae_tpu.pipelines.train import save_final_weights, train
+
+    log_dir = args.log_dir or str(cfg.paths.resolve(f"logs/vae{str(time.time())[-5:]}"))
+    state = train(
+        critic_params,
+        dset,
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        learning_rate=args.lr,
+        kld_weight=args.kld_weight,
+        seed=args.seed,
+        log_dir=log_dir,
+        checkpoint_dir=str(cfg.paths.resolve("checkpoints")),
+        resume=not args.no_resume,
+    )
+    enc = str(cfg.paths.resolve(cfg.paths.encoder_path))
+    dec = str(cfg.paths.resolve(cfg.paths.decoder_path))
+    save_final_weights(state, enc, dec)
+    print(f"saved {enc} and {dec}")
+    return 0
+
+
+def _run_eval(args, second: bool, inject: bool) -> int:
+    cfg = _cfg(args)
+    critic_params = _critic(args, cfg)
+    vae_params, bn_state = _load_vae(args, cfg, second=second)
+    from critic_vae_tpu.pipelines import evaluate as ev
+
+    img_dir = args.images or str(cfg.paths.resolve(cfg.paths.source_images_path))
+    images, files = ev.load_image_dir(img_dir)
+    print(f"evaluating {len(files)} source images...")
+    if inject:
+        out_dir = args.out or str(cfg.paths.resolve(cfg.paths.inject_path))
+        res = ev.inject_images(vae_params, bn_state, critic_params, images)
+        paths = ev.save_inject_strips(res, images, out_dir)
+    else:
+        out_dir = args.out or str(cfg.paths.resolve(cfg.paths.save_path))
+        res = ev.evaluate_images(vae_params, bn_state, critic_params, images)
+        paths = ev.save_eval_strips(res, images, out_dir)
+    print(f"wrote {len(paths)} strips to {out_dir}")
+    return 0
+
+
+def cmd_eval(args) -> int:
+    return _run_eval(args, second=False, inject=False)
+
+
+def cmd_inject(args) -> int:
+    return _run_eval(args, second=False, inject=True)
+
+
+def cmd_evalsecond(args) -> int:
+    return _run_eval(args, second=True, inject=False)
+
+
+def cmd_video(args) -> int:
+    cfg = _cfg(args)
+    critic_params = _critic(args, cfg)
+    vae_params, bn_state = _load_vae(args, cfg)
+    from critic_vae_tpu.data.episode import load_episode
+    from critic_vae_tpu.pipelines import video as vid
+
+    episode_dir = args.episode or str(cfg.paths.resolve(cfg.paths.minerl_episode_path))
+    ep_slice = None if args.no_slice else cfg.mask.episode_slice
+    frames, gt = load_episode(episode_dir, ep_slice)
+    if len(frames) == 0:
+        print(
+            f"error: episode slice {ep_slice} selects 0 of the episode's frames; "
+            "try --no-slice", file=sys.stderr,
+        )
+        return 1
+    print(f"processing {len(frames)} frames...")
+
+    if args.sweep:
+        print("testing thresholds (thr):")
+        results = vid.threshold_sweep(
+            vae_params, bn_state, critic_params, frames, gt,
+            cfg.mask.threshold_sweep, run_crf=not args.no_crf,
+            batch_size=args.batch_size,
+        )
+        for r in results:
+            print(f"thr={r['threshold']}, thr_iou={r['thr_iou']}, crf_iou={r['crf_iou']}")
+        return 0
+
+    result = vid.eval_episode(
+        vae_params, bn_state, critic_params, frames, gt,
+        threshold=args.threshold, run_crf=not args.no_crf,
+        batch_size=args.batch_size,
+    )
+    print(f"thr_iou={result.thr_iou}")
+    print(f"crf_iou={result.crf_iou}")
+
+    diag = vid.bin_diagnostics(result.preds, gt, result.thr_masks)
+    binfo = str(cfg.paths.resolve("bin_info_vae1.txt"))
+    vid.write_bin_info(diag, binfo, total_frames=len(frames))
+
+    if not args.no_gif:
+        from critic_vae_tpu.viz.gif import write_gif
+
+        strips = vid.compose_frames(frames, result, gt, args.threshold)
+        out = str(cfg.paths.resolve(
+            os.path.join(cfg.paths.video_path, f"video-threshold={args.threshold}.gif")
+        ))
+        print("creating video...")
+        write_gif(strips, out)
+        print(f"wrote {out}")
+    return 0
+
+
+def cmd_dataset(args) -> int:
+    cfg = _cfg(args)
+    critic_params = _critic(args, cfg)
+    vae_params, bn_state = _load_vae(args, cfg)
+    from critic_vae_tpu.data.sources import open_source
+    from critic_vae_tpu.pipelines.dataset import build_recon_dataset, save_dataset
+
+    dset = build_recon_dataset(
+        open_source(args.source), critic_params, vae_params, bn_state,
+        total_images=args.total_images,
+    )
+    out = args.out or str(cfg.paths.resolve(cfg.paths.save_dataset_path))
+    save_dataset(out, dset)
+    print(f"saved {len(dset)} recon frames to {out}")
+    return 0
+
+
+def cmd_second(args) -> int:
+    cfg = _cfg(args)
+    critic_params = _critic(args, cfg)
+    from critic_vae_tpu.pipelines.dataset import load_dataset
+    from critic_vae_tpu.pipelines.train import save_final_weights, train
+
+    path = args.dataset_path or str(cfg.paths.resolve(cfg.paths.save_dataset_path))
+    print("training second vae...")
+    recon_dset = load_dataset(path)
+    state = train(
+        critic_params, recon_dset,
+        epochs=args.epochs, batch_size=args.batch_size, learning_rate=args.lr,
+        seed=args.seed, log_dir=None, checkpoint_dir=None, resume=False,
+    )
+    enc = str(cfg.paths.resolve(cfg.paths.second_encoder_path))
+    dec = str(cfg.paths.resolve(cfg.paths.second_decoder_path))
+    save_final_weights(state, enc, dec)
+    print(f"saved {enc} and {dec}")
+    return 0
+
+
+COMMANDS = {
+    "train": cmd_train,
+    "eval": cmd_eval,
+    "inject": cmd_inject,
+    "evalsecond": cmd_evalsecond,
+    "video": cmd_video,
+    "dataset": cmd_dataset,
+    "second": cmd_second,
+}
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: repeated CLI invocations skip the
+    20-40 s TPU compile (the reference pays torch's per-process warmup every
+    run; here recompiles are one-time per program shape)."""
+    import jax
+
+    cache_dir = os.environ.get(
+        "CRITIC_VAE_TPU_JAX_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "critic_vae_tpu", "jax"),
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimization; never fail the CLI over it
+
+
+def main(argv: Optional[list] = None) -> int:
+    args = build_parser().parse_args(argv)
+    _enable_compilation_cache()
+    return COMMANDS[args.mode](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,147 @@
+"""TensorBoard-compatible scalar event writer, dependency-free.
+
+Replaces the reference's torch ``SummaryWriter`` wrapper (reference:
+logger.py:3-15) without pulling in tensorboard/torch: encodes Event protos
+and the TFRecord framing (masked CRC32C) by hand. Files written here open in
+stock TensorBoard.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import struct
+import threading
+import time
+from typing import Optional
+
+_CRC_TABLE = []
+
+
+def _crc32c_init():
+    poly = 0x82F63B78
+    for n in range(256):
+        c = n
+        for _ in range(8):
+            c = (c >> 1) ^ poly if c & 1 else c >> 1
+        _CRC_TABLE.append(c)
+
+
+_crc32c_init()
+
+
+def _crc32c(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _masked_crc(data: bytes) -> int:
+    crc = _crc32c(data)
+    return ((crc >> 15) | (crc << 17)) + 0xA282EAD8 & 0xFFFFFFFF
+
+
+def _varint(n: int) -> bytes:
+    out = b""
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out += bytes([b | 0x80])
+        else:
+            return out + bytes([b])
+
+
+def _field(num: int, wire: int) -> bytes:
+    return _varint((num << 3) | wire)
+
+
+def _bytes_field(num: int, payload: bytes) -> bytes:
+    return _field(num, 2) + _varint(len(payload)) + payload
+
+
+def _encode_event(
+    wall_time: float, step: int, tag: Optional[str], value: Optional[float],
+    file_version: Optional[str] = None,
+) -> bytes:
+    # Event proto: 1=wall_time(double) 2=step(int64) 3=file_version(string)
+    #              5=summary(Summary); Summary.Value: 1=tag 2=simple_value
+    ev = _field(1, 1) + struct.pack("<d", wall_time)
+    if step:
+        ev += _field(2, 0) + _varint(step & 0xFFFFFFFFFFFFFFFF)
+    if file_version is not None:
+        ev += _bytes_field(3, file_version.encode())
+    if tag is not None:
+        val = _bytes_field(1, tag.encode()) + _field(2, 5) + struct.pack("<f", value)
+        ev += _bytes_field(5, _bytes_field(1, val))
+    return ev
+
+
+def _frame_record(payload: bytes) -> bytes:
+    header = struct.pack("<Q", len(payload))
+    return (
+        header
+        + struct.pack("<I", _masked_crc(header))
+        + payload
+        + struct.pack("<I", _masked_crc(payload))
+    )
+
+
+class EventWriter:
+    """Append-only scalar event file (``events.out.tfevents.*``)."""
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        fname = f"events.out.tfevents.{time.time():.0f}.{socket.gethostname()}"
+        self._path = os.path.join(log_dir, fname)
+        self._lock = threading.Lock()
+        self._f = open(self._path, "ab")
+        self._write(_encode_event(time.time(), 0, None, None, file_version="brain.Event:2"))
+
+    @property
+    def path(self) -> str:
+        return self._path
+
+    def _write(self, event: bytes) -> None:
+        with self._lock:
+            self._f.write(_frame_record(event))
+            self._f.flush()
+
+    def scalar(self, tag: str, value: float, step: int) -> None:
+        """Log one scalar (reference: logger.py:9-11 scalar_summary)."""
+        self._write(_encode_event(time.time(), step, tag, float(value)))
+
+    def close(self) -> None:
+        with self._lock:
+            self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class MetricLogger:
+    """Train-loop metric logging: TB events + JSONL mirror.
+
+    Covers the reference's log_info cadence (vae_utility.py:372-380 — recon,
+    kld, total every ``log_n`` images at step ``batch_i + num_samples·ep``).
+    """
+
+    def __init__(self, log_dir: str):
+        self.events = EventWriter(log_dir)
+        self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+
+    def log(self, metrics: dict, step: int) -> None:
+        import json
+
+        for tag, value in metrics.items():
+            self.events.scalar(tag, value, step)
+        self._jsonl.write(json.dumps({"step": step, **{k: float(v) for k, v in metrics.items()}}) + "\n")
+        self._jsonl.flush()
+
+    def close(self) -> None:
+        self.events.close()
+        self._jsonl.close()

@@ -1,0 +1,126 @@
+"""Recon-difference mask pipeline, fully batched and jit-fused.
+
+Reference behavior (vae_utility.py:256-277, 148-160, vae.py:98-108): per
+frame, decode the same latent twice — once at the critic's predicted value,
+once at zero — take the per-pixel |difference| of the two reconstructions,
+convert to Rec.601 greyscale, and record the per-frame max. Then a *global*
+two-pass normalization: every diff map is clamped at the mean of the
+per-frame maxima and scaled by its reciprocal, quantized to uint8, and
+thresholded (> t) into a binary tree-trunk mask.
+
+TPU-first redesign (the reference runs all of this frame-by-frame at batch
+size 1, recomputing reconstructions 13× for the threshold sweep,
+vae.py:121-123):
+
+* encode once per frame; BOTH decodes run as a single decoder call on a
+  doubled batch (2B), so the conv weights stream from HBM once;
+* diff → greyscale → per-frame max fuse into the same XLA program;
+* the two-pass normalization is a scalar reduction on device;
+* the threshold sweep vectorizes over all 13 thresholds at once against the
+  *same* uint8 diff maps — recons are computed exactly once.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from critic_vae_tpu.models import critic as critic_mod
+from critic_vae_tpu.models import vae as vae_mod
+
+# Rec.601 luma weights (reference: vae_utility.py:273)
+REC601 = (0.2989, 0.5870, 0.1140)
+
+
+def diff_images(
+    vae_params, bn_state, x: jnp.ndarray, values: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched double-decode diff (reference: get_diff_image, vae_utility.py:256-277).
+
+    Args:
+      x: (B, 64, 64, 3) normalized frames.
+      values: (B,) critic values to inject for the "one" reconstruction.
+
+    Returns:
+      recon_one: decode(mu, value) — (B, 64, 64, 3)
+      recon_zero: decode(mu, 0)
+      diff: (B, 64, 64) unnormalized greyscale |recon_zero − recon_one|
+      max_value: (B,) per-frame diff maxima
+    """
+    mu, _, _ = vae_mod.encode(vae_params, bn_state, x, train=False)
+    b = mu.shape[0]
+    both = vae_mod.decode(
+        vae_params,
+        jnp.concatenate([mu, mu], axis=0),
+        jnp.concatenate([values.reshape(b), jnp.zeros((b,), values.dtype)]),
+    )
+    recon_one, recon_zero = both[:b], both[b:]
+    diff = jnp.abs(recon_zero - recon_one)
+    grey = (
+        diff[..., 0] * REC601[0] + diff[..., 1] * REC601[1] + diff[..., 2] * REC601[2]
+    )
+    return recon_one, recon_zero, grey, jnp.max(grey, axis=(1, 2))
+
+
+def normalize_diffs(
+    diffs: jnp.ndarray, max_values: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-pass mean-max normalization → uint8 diff maps.
+
+    Matches prepare_diff + get_diff_factor (vae_utility.py:106-110, 279-284):
+    clamp at mean(max_values), scale by 1/mean (0 if the mean is 0), then
+    quantize with the reference's truncating ``(d*255).astype(uint8)``.
+
+    Returns (diff_u8 (B, H, W) uint8, mean_max scalar).
+    """
+    mean_max = jnp.mean(max_values)
+    factor = jnp.where(mean_max != 0, 1.0 / jnp.where(mean_max == 0, 1.0, mean_max), 0.0)
+    clamped = jnp.minimum(diffs, mean_max) * factor
+    return (clamped * 255.0).astype(jnp.uint8), mean_max
+
+
+def threshold_masks(diff_u8: jnp.ndarray, thresholds: jnp.ndarray) -> jnp.ndarray:
+    """Binary masks for every threshold at once.
+
+    diff_u8 (B, H, W) uint8 × thresholds (T,) → (T, B, H, W) bool.
+    The reference recomputes the whole pipeline per threshold
+    (vae.py:121-123); here the sweep is one broadcast compare.
+    """
+    return diff_u8[None] > thresholds[:, None, None, None].astype(jnp.uint8)
+
+
+def iou_stacked(gt: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
+    """Whole-stack IoU per threshold: gt (B,H,W) bool × masks (T,B,H,W) →
+    (T,) float (0/0 → 1.0, reference semantics vae_utility.py:56-68)."""
+    gt = gt[None].astype(bool)
+    masks = masks.astype(bool)
+    tp = jnp.sum(gt & masks, axis=(1, 2, 3))
+    union = tp + jnp.sum(gt & ~masks, axis=(1, 2, 3)) + jnp.sum(~gt & masks, axis=(1, 2, 3))
+    return jnp.where(union == 0, 1.0, tp / jnp.maximum(union, 1))
+
+
+@functools.partial(jax.jit, static_argnames=("batched",))
+def episode_forward(
+    vae_params, bn_state, critic_params, frames: jnp.ndarray, *, batched: bool = True
+):
+    """Fused per-frame stage of the video pipeline: critic score + double
+    decode + diff/greyscale/max, one XLA program over the whole frame batch
+    (reference loops frames at batch 1: vae_utility.py:171-181).
+
+    Returns dict(preds (B,), recon_one, recon_zero, diff (B,H,W) f32,
+    max_value (B,)).
+    """
+    preds = critic_mod.critic_apply(critic_params, frames)[:, 0]
+    recon_one, recon_zero, diff, max_value = diff_images(
+        vae_params, bn_state, frames, preds
+    )
+    return {
+        "preds": preds,
+        "recon_one": recon_one,
+        "recon_zero": recon_zero,
+        "diff": diff,
+        "max_value": max_value,
+    }

@@ -1,0 +1,71 @@
+"""Recon-dataset construction + the second-VAE experiment.
+
+Capability parity with the reference's ``-dataset`` / ``-second`` /
+``-evalsecond`` modes (reference: vae.py:130-153, vae_utility.py:416-443):
+build a dataset of VAE *reconstructions* — recon@pred for high-critic
+frames, recon@0 for low, both for mid — then train a fresh VAE on it.
+
+TPU-first: reconstructions are produced by batched double-decodes (the
+reference runs two batch-1 evaluates per frame); the artifact is a
+compressed ``.npz`` instead of a ~5 GB pickle (README.md:38).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from critic_vae_tpu.data.sampler import balanced_critic_sampler
+from critic_vae_tpu.models import vae as vae_mod
+
+
+def make_recon_fn(vae_params, bn_state, batch_size: int = 512):
+    """Batched (recon@pred, recon@0) producer for the sampler's recon mode."""
+
+    def recon_fn(frames: np.ndarray, preds: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        outs_pred, outs_zero = [], []
+        for i in range(0, len(frames), batch_size):
+            x = jnp.asarray(frames[i : i + batch_size])
+            v = jnp.asarray(preds[i : i + batch_size])
+            mu, _, _ = vae_mod.encode(vae_params, bn_state, x, train=False)
+            b = mu.shape[0]
+            both = vae_mod.decode(
+                vae_params,
+                jnp.concatenate([mu, mu], axis=0),
+                jnp.concatenate([v, jnp.zeros((b,), v.dtype)]),
+            )
+            outs_pred.append(np.asarray(both[:b]))
+            outs_zero.append(np.asarray(both[b:]))
+        return np.concatenate(outs_pred), np.concatenate(outs_zero)
+
+    return recon_fn
+
+
+def build_recon_dataset(
+    trajectories: Iterable,
+    critic_params,
+    vae_params,
+    bn_state,
+    *,
+    total_images: int = 50_000,
+    collect: int = 150,
+) -> np.ndarray:
+    """(reference: load_minerl_data(recon_dset=True), vae_utility.py:422-443)."""
+    return balanced_critic_sampler(
+        trajectories,
+        critic_params,
+        total_images=total_images,
+        collect=collect,
+        recon_fn=make_recon_fn(vae_params, bn_state),
+    )
+
+
+def save_dataset(path: str, dataset: np.ndarray) -> None:
+    np.savez_compressed(path, frames=dataset.astype(np.float32))
+
+
+def load_dataset(path: str) -> np.ndarray:
+    with np.load(path) as data:
+        return data["frames"]

@@ -1,0 +1,108 @@
+"""Image evaluation + injection pipelines (reference: vae.py:68-108).
+
+Evaluates a directory of still frames: critic score per image, recon-diff
+mask with the two-pass mean-max normalization, 4-panel strips; or, in inject
+mode, a strip of the original plus reconstructions at a ladder of injected
+critic values (reference inject_n=6 values 0..1, vae_nets.py:31-40).
+
+TPU-first: the reference processes images one at a time at batch 1
+(vae.py:80-96); here the whole directory is one (or a few) fused device
+calls.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from critic_vae_tpu.models import vae as vae_mod
+from critic_vae_tpu.models.critic import critic_apply
+from critic_vae_tpu.ops.mask import diff_images, normalize_diffs
+
+
+def load_image_dir(path: str) -> Tuple[np.ndarray, List[str]]:
+    """Load every image in a directory as one (N, H, W, 3) float batch.
+
+    Files are sorted for determinism (deliberate fix: the reference iterates
+    raw os.listdir order, vae.py:70, so its output indices are fs-dependent).
+    """
+    files = sorted(
+        f for f in os.listdir(path)
+        if f.lower().endswith((".jpg", ".jpeg", ".png", ".bmp"))
+    )
+    imgs = np.stack(
+        [np.asarray(Image.open(os.path.join(path, f)).convert("RGB"), dtype=np.float32) / 255.0
+         for f in files]
+    )
+    return imgs, files
+
+
+def evaluate_images(
+    vae_params, bn_state, critic_params, images: np.ndarray
+) -> dict:
+    """Critic + double-decode diff over a batch of stills, with the global
+    two-pass normalization over exactly this image set (vae.py:98-100).
+
+    Returns dict(preds, recon_one, recon_zero, diff_u8).
+    """
+    x = jnp.asarray(images)
+    preds = critic_apply(critic_params, x)[:, 0]
+    recon_one, recon_zero, diff, max_value = diff_images(vae_params, bn_state, x, preds)
+    diff_u8, _ = normalize_diffs(diff, max_value)
+    return {
+        "preds": np.asarray(preds),
+        "recon_one": np.asarray(recon_one),
+        "recon_zero": np.asarray(recon_zero),
+        "diff_u8": np.asarray(diff_u8),
+    }
+
+
+def save_eval_strips(results: dict, images: np.ndarray, out_dir: str) -> List[str]:
+    """Write the 4-panel PNG strips (reference: vae.py:102-108)."""
+    from critic_vae_tpu.viz.panels import final_frame
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i in range(len(images)):
+        img = final_frame(
+            images[i],
+            results["recon_one"][i],
+            results["recon_zero"][i],
+            results["diff_u8"][i],
+            results["preds"][i],
+        )
+        p = os.path.join(out_dir, f"image-{i:03d}.png")
+        img.save(p, format="png")
+        paths.append(p)
+    return paths
+
+
+def inject_images(
+    vae_params, bn_state, critic_params, images: np.ndarray,
+    values: Optional[np.ndarray] = None,
+) -> dict:
+    """Batched injection ladder (reference: vae.py:90-92 + vae_nets.py:31-40)."""
+    x = jnp.asarray(images)
+    preds = critic_apply(critic_params, x)[:, 0]
+    recons = vae_mod.inject(
+        vae_params, bn_state, x,
+        None if values is None else jnp.asarray(values),
+    )
+    return {"preds": np.asarray(preds), "recons": np.asarray(recons)}
+
+
+def save_inject_strips(results: dict, images: np.ndarray, out_dir: str) -> List[str]:
+    from critic_vae_tpu.viz.panels import inject_strip
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i in range(len(images)):
+        strip = inject_strip(images[i], list(results["recons"][i]))
+        p = os.path.join(out_dir, f"image-{i:03d}.png")
+        strip.save(p, format="png")
+        paths.append(p)
+    return paths

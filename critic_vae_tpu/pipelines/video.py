@@ -1,0 +1,248 @@
+"""Video / mask-evaluation pipeline.
+
+Capability parity with the reference's ``-video [-thresh]`` mode
+(reference: vae.py:113-129, vae_utility.py:162-212): per frame — critic
+score, reconstruction at the predicted value vs at zero, |diff| greyscale
+mask, global mean-max normalization, binary threshold, dense-CRF refinement,
+IoU against ground truth, annotated 7-panel frames, a bin-diagnostics file,
+and a looping GIF.
+
+TPU-first redesign of the hot path (the reference walks 550 frames one at a
+time at batch 1, and its ``-thresh`` sweep recomputes every reconstruction
+13×, vae.py:121-123):
+
+* the whole episode runs through one fused jitted program in large padded
+  chunks — critic + encode + double-decode + diff + per-frame max never
+  leave the device;
+* reconstructions are computed exactly once; the threshold sweep is a
+  vectorized uint8 compare over all thresholds simultaneously;
+* CRF refinement (host C++, OpenMP over frames) and PIL composition are the
+  only host stages.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import defaultdict
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from critic_vae_tpu.ops.iou import iou, iou_batch
+from critic_vae_tpu.ops.mask import (
+    episode_forward,
+    iou_stacked,
+    normalize_diffs,
+    threshold_masks,
+)
+
+DEFAULT_CRF_PARAMS = (22.0, 12.0, 3.1, 8.0, 1.8, 10)  # vae_utility.py:25-30
+
+
+@dataclasses.dataclass
+class EpisodeResult:
+    preds: np.ndarray  # (N,)
+    recon_one: np.ndarray  # (N, H, W, 3) float
+    recon_zero: np.ndarray
+    diff_u8: np.ndarray  # (N, H, W) uint8 normalized diff maps
+    thr_masks: np.ndarray  # (N, H, W) bool
+    crf_masks: Optional[np.ndarray]  # (N, H, W) bool or None
+    thr_iou: float
+    crf_iou: Optional[float]
+
+
+def episode_device_stage(
+    vae_params, bn_state, critic_params, frames_f32: np.ndarray,
+    batch_size: int = 512,
+) -> Dict[str, np.ndarray]:
+    """Run the fused per-frame stage over the episode in padded chunks.
+
+    Chunks are padded to a fixed batch so jit compiles exactly once
+    (SURVEY §7: static shapes). Returns host arrays.
+    """
+    n = len(frames_f32)
+    outs: Dict[str, List[np.ndarray]] = {
+        k: [] for k in ("preds", "recon_one", "recon_zero", "diff", "max_value")
+    }
+    for i in range(0, n, batch_size):
+        chunk = frames_f32[i : i + batch_size]
+        valid = len(chunk)
+        if valid < batch_size:
+            pad = np.repeat(chunk[-1:], batch_size - valid, axis=0)
+            chunk = np.concatenate([chunk, pad], axis=0)
+        res = episode_forward(vae_params, bn_state, critic_params, jnp.asarray(chunk))
+        for k in outs:
+            outs[k].append(np.asarray(res[k])[:valid])
+    return {k: np.concatenate(v, axis=0) for k, v in outs.items()}
+
+
+def eval_episode(
+    vae_params,
+    bn_state,
+    critic_params,
+    frames_u8: np.ndarray,
+    gt: Optional[np.ndarray],
+    *,
+    threshold: int = 50,
+    crf_params: Tuple = DEFAULT_CRF_PARAMS,
+    run_crf: bool = True,
+    batch_size: int = 512,
+    num_threads: int = 0,
+) -> EpisodeResult:
+    """Full mask pipeline over an episode (reference: eval_textured_frames).
+
+    Args:
+      frames_u8: (N, H, W, 3) uint8 raw frames (the CRF consumes these raw,
+        matching vae_utility.py:186).
+      gt: (N, H, W) bool ground truth, or None to skip IoU/CRF scoring.
+    """
+    frames_f32 = frames_u8.astype(np.float32) / 255.0
+    dev = episode_device_stage(vae_params, bn_state, critic_params, frames_f32, batch_size)
+
+    diff_u8, _ = normalize_diffs(jnp.asarray(dev["diff"]), jnp.asarray(dev["max_value"]))
+    thr = threshold_masks(diff_u8, jnp.asarray([threshold]))[0]
+    diff_u8 = np.asarray(diff_u8)
+    thr_masks = np.asarray(thr)
+
+    thr_iou_val = iou(gt, thr_masks) if gt is not None else None
+
+    crf_masks = crf_iou_val = None
+    if run_crf:
+        from critic_vae_tpu.crf import refine_masks
+
+        crf_masks = refine_masks(frames_u8, thr_masks, crf_params, num_threads)
+        if gt is not None:
+            crf_iou_val = iou(gt, crf_masks)
+
+    return EpisodeResult(
+        preds=dev["preds"],
+        recon_one=dev["recon_one"],
+        recon_zero=dev["recon_zero"],
+        diff_u8=diff_u8,
+        thr_masks=thr_masks,
+        crf_masks=crf_masks,
+        thr_iou=thr_iou_val,
+        crf_iou=crf_iou_val,
+    )
+
+
+def threshold_sweep(
+    vae_params,
+    bn_state,
+    critic_params,
+    frames_u8: np.ndarray,
+    gt: np.ndarray,
+    thresholds: Sequence[int] = tuple(range(0, 130, 10)),
+    *,
+    crf_params: Tuple = DEFAULT_CRF_PARAMS,
+    run_crf: bool = True,
+    batch_size: int = 512,
+    num_threads: int = 0,
+) -> List[Dict]:
+    """Threshold sweep with reconstructions computed once.
+
+    The reference re-runs the entire pipeline (recons included) per
+    threshold (vae.py:121-123); here the device stage runs once and all
+    threshold masks + IoUs come from one vectorized pass. CRF still runs per
+    threshold (its input mask differs).
+    """
+    frames_f32 = frames_u8.astype(np.float32) / 255.0
+    dev = episode_device_stage(vae_params, bn_state, critic_params, frames_f32, batch_size)
+    diff_u8, _ = normalize_diffs(jnp.asarray(dev["diff"]), jnp.asarray(dev["max_value"]))
+    t_arr = jnp.asarray(list(thresholds))
+    masks = threshold_masks(diff_u8, t_arr)  # (T, N, H, W)
+    thr_ious = np.asarray(iou_stacked(jnp.asarray(gt), masks))
+    masks = np.asarray(masks)
+
+    results = []
+    for ti, t in enumerate(thresholds):
+        crf_iou_val = None
+        if run_crf:
+            from critic_vae_tpu.crf import refine_masks
+
+            crf_masks = refine_masks(frames_u8, masks[ti], crf_params, num_threads)
+            crf_iou_val = iou(gt, crf_masks)
+        results.append(
+            {
+                "threshold": int(t),
+                "thr_iou": round(float(thr_ious[ti]), 3),
+                "crf_iou": crf_iou_val,
+            }
+        )
+    return results
+
+
+def bin_diagnostics(
+    preds: np.ndarray, gt: np.ndarray, thr_masks: np.ndarray
+) -> Dict:
+    """Per-critic-bin IoU/frame/GT-pixel diagnostics
+    (reference: save_bin_info, vae_utility.py:112-145).
+
+    Bins are round(pred, 1) in first-seen order, like the reference's
+    defaultdicts.
+    """
+    per_frame_iou = iou_batch(thr_masks, gt)  # reference arg order: (mask, gt)
+    bin_ious: Dict[float, List[float]] = defaultdict(list)
+    bin_frames: Dict[float, int] = defaultdict(int)
+    bin_gts: Dict[float, int] = defaultdict(int)
+    for i, pred in enumerate(preds):
+        b = round(float(pred), 1)
+        bin_ious[b].append(round(float(per_frame_iou[i]), 3))
+        bin_frames[b] += 1
+        bin_gts[b] += int(np.sum(gt[i]))
+    return {"ious": dict(bin_ious), "frames": dict(bin_frames), "gts": dict(bin_gts)}
+
+
+def write_bin_info(diag: Dict, out_path: str, total_frames: int) -> None:
+    """Write the bin_info text file in the reference's format.
+
+    Deliberate fix vs the reference: frame percentages divide by the actual
+    frame count, not a hardcoded 1200 (vae_utility.py:124 divides 550
+    processed frames by 1200); and singleton bins report std 0.00 instead of
+    crashing statistics.stdev.
+    """
+    import statistics
+
+    total_gt = sum(diag["gts"].values())
+    with open(out_path, "w") as f:
+        f.write("ground truth pixels sorted by bin:\n")
+        for b, count in diag["gts"].items():
+            pct = round(count / total_gt, 2) * 100 if total_gt else 0.0
+            f.write(f"bin: {b}, pixels = {count} = {pct}%\n")
+        f.write("\nframes separated by bin:\n")
+        for b, count in diag["frames"].items():
+            f.write(f"bin: {b}, frames = {count} = {round(count / total_frames, 2) * 100}%\n")
+        f.write("\niou-mean and std:\n")
+        for b, ious in diag["ious"].items():
+            mean = round(statistics.mean(ious), 2)
+            std = round(statistics.stdev(ious), 2) if len(ious) > 1 else 0.0
+            f.write(f"bin: {b}, iou_mean={mean}, iou_std={std}\n")
+
+
+def compose_frames(
+    frames_u8: np.ndarray, result: EpisodeResult, gt: np.ndarray, threshold: int
+) -> List:
+    """Render the 7-panel annotated strips (host, PIL)."""
+    from critic_vae_tpu.viz.panels import final_frame
+
+    out = []
+    crf = result.crf_masks if result.crf_masks is not None else np.zeros_like(result.thr_masks)
+    for i in range(len(frames_u8)):
+        out.append(
+            final_frame(
+                frames_u8[i],
+                result.recon_one[i],
+                result.recon_zero[i],
+                result.diff_u8[i],
+                result.preds[i],
+                gt=gt[i],
+                thr_mask=result.thr_masks[i],
+                crf_mask=crf[i],
+                thr_iou=result.thr_iou,
+                crf_iou=result.crf_iou,
+                threshold=threshold,
+            )
+        )
+    return out

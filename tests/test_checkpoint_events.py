@@ -1,0 +1,102 @@
+"""Checkpoint IO + TensorBoard event writer tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from critic_vae_tpu.io import checkpoint as ckpt
+from critic_vae_tpu.io.events import EventWriter, MetricLogger, _crc32c
+
+
+def test_pytree_roundtrip(tmp_path):
+    tree = {
+        "a": jnp.arange(6.0).reshape(2, 3),
+        "nested": {"b": jnp.ones((4,), jnp.int32), "c": [jnp.zeros(2), jnp.ones(1)]},
+    }
+    p = str(tmp_path / "t.npz")
+    ckpt.save_pytree(p, tree)
+    out = ckpt.load_pytree(p, tree)
+    for x, y in zip(jax.tree.leaves(tree), jax.tree.leaves(out)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_prng_key_roundtrip(tmp_path):
+    tree = {"rng": jax.random.key(42), "x": jnp.zeros(3)}
+    p = str(tmp_path / "k.npz")
+    ckpt.save_pytree(p, tree)
+    out = ckpt.load_pytree(p, tree)
+    # restored key must produce identical randomness
+    a = jax.random.normal(tree["rng"], (4,))
+    b = jax.random.normal(out["rng"], (4,))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_load_errors_are_loud(tmp_path):
+    """Unlike the reference's silent random-weights fallback
+    (vae_utility.py:353-357), bad checkpoints must raise."""
+    p = str(tmp_path / "t.npz")
+    ckpt.save_pytree(p, {"a": jnp.zeros((2, 2))})
+    with pytest.raises(KeyError):
+        ckpt.load_pytree(p, {"a": jnp.zeros((2, 2)), "missing": jnp.zeros(1)})
+    with pytest.raises(ValueError):
+        ckpt.load_pytree(p, {"a": jnp.zeros((3, 3))})
+
+
+def test_train_state_roundtrip_and_latest(tmp_path):
+    from critic_vae_tpu.train.step import init_train_state
+
+    state, _ = init_train_state(jax.random.key(0))
+    d = str(tmp_path)
+    ckpt.save_train_state(os.path.join(d, "ckpt-3.npz"), state)
+    ckpt.save_train_state(os.path.join(d, "ckpt-12.npz"), state)
+    latest = ckpt.latest_checkpoint(d)
+    assert latest is not None and latest[1] == 12
+    restored = ckpt.restore_train_state(latest[0], state)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ckpt.prune_checkpoints(d, keep=1)
+    assert ckpt.latest_checkpoint(d)[1] == 12
+    assert not os.path.exists(os.path.join(d, "ckpt-3.npz"))
+
+
+def test_crc32c_known_vectors():
+    # RFC 3720 test vector: 32 bytes of zeros → 0x8a9136aa
+    assert _crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert _crc32c(b"123456789") == 0xE3069283
+
+
+def test_event_file_readable_by_tensorboard(tmp_path):
+    tb = pytest.importorskip("tensorboard.backend.event_processing.event_file_loader")
+    d = str(tmp_path / "logs")
+    with EventWriter(d) as w:
+        w.scalar("recon_loss", 0.5, 10)
+        w.scalar("kld", 0.01, 10)
+        w.scalar("recon_loss", 0.25, 20)
+        path = w.path
+    from tensorboard.util import tensor_util
+
+    events = list(tb.EventFileLoader(path).Load())
+    assert events[0].file_version == "brain.Event:2"
+    # the loader migrates simple_value into new-style tensor protos
+    scalars = [
+        (e.step, v.tag, float(tensor_util.make_ndarray(v.tensor)))
+        for e in events
+        for v in (e.summary.value if e.summary else [])
+    ]
+    assert (10, "recon_loss", 0.5) in scalars
+    assert (20, "recon_loss", 0.25) in scalars
+
+
+def test_metric_logger_jsonl(tmp_path):
+    import json
+
+    d = str(tmp_path / "logs")
+    logger = MetricLogger(d)
+    logger.log({"total_loss": 1.25, "kld": 0.5}, step=7)
+    logger.close()
+    lines = open(os.path.join(d, "metrics.jsonl")).read().splitlines()
+    rec = json.loads(lines[0])
+    assert rec["step"] == 7 and rec["total_loss"] == 1.25

@@ -1,0 +1,87 @@
+"""CLI subcommand tests — every reference mode, in-process, tiny workloads."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from critic_vae_tpu.cli import main
+from tests.conftest import CRITIC_PT, REFERENCE, requires_reference
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    """A scratch --root with critic weights, a few source images, and a tiny
+    synthetic episode."""
+    root = tmp_path_factory.mktemp("cliroot")
+    (root / "saved-networks").mkdir()
+    shutil.copy(CRITIC_PT, root / "saved-networks" / os.path.basename(CRITIC_PT))
+    src = root / "source-images"
+    src.mkdir()
+    for name in sorted(os.listdir(f"{REFERENCE}/source-images"))[:4]:
+        shutil.copy(f"{REFERENCE}/source-images/{name}", src / name)
+    from critic_vae_tpu.data.synthetic import generate_episode
+
+    generate_episode(str(root / "minerl-episode"), num_frames=8, seed=0)
+    return str(root)
+
+
+def _run(args):
+    assert main(args) == 0
+
+
+@requires_reference
+def test_full_mode_matrix(workspace):
+    """train → eval → inject → video → video --sweep → dataset → second →
+    evalsecond: the complete reference mode surface (vae.py:23-31)."""
+    critic = os.path.join(workspace, "saved-networks", os.path.basename(CRITIC_PT))
+    base = ["--root", workspace, "--critic", critic]
+
+    _run(["train", *base, "--source", "synthetic:2:48", "--epochs", "1",
+          "--batch-size", "8", "--total-images", "64", "--no-resume"])
+    assert os.path.exists(os.path.join(workspace, "saved-networks/vae_encoder.ckpt"))
+    assert os.path.exists(os.path.join(workspace, "saved-networks/vae_decoder.ckpt"))
+
+    _run(["eval", *base])
+    assert os.path.exists(os.path.join(workspace, "images/image-000.png"))
+
+    _run(["inject", *base])
+    assert os.path.exists(os.path.join(workspace, "inject/image-000.png"))
+
+    _run(["video", *base, "--episode", os.path.join(workspace, "minerl-episode"),
+          "--batch-size", "8", "--no-crf", "--no-slice"])
+    assert os.path.exists(os.path.join(workspace, "bin_info_vae1.txt"))
+    assert os.path.exists(os.path.join(workspace, "videos/video-threshold=50.gif"))
+
+    _run(["video", *base, "--episode", os.path.join(workspace, "minerl-episode"),
+          "--batch-size", "8", "--no-crf", "--no-slice", "--sweep"])
+
+    dset_path = os.path.join(workspace, "recon.npz")
+    _run(["dataset", *base, "--source", "synthetic:1:32", "--out", dset_path,
+          "--total-images", "32"])
+    assert os.path.exists(dset_path)
+    with np.load(dset_path) as d:
+        assert d["frames"].ndim == 4
+
+    _run(["second", *base, "--dataset", dset_path, "--epochs", "1",
+          "--batch-size", "8"])
+    assert os.path.exists(os.path.join(workspace, "vae2_encoder.ckpt"))
+
+    _run(["evalsecond", *base, "--out", os.path.join(workspace, "images2")])
+    assert os.path.exists(os.path.join(workspace, "images2/image-000.png"))
+
+
+def test_unknown_mode_fails():
+    with pytest.raises(SystemExit):
+        main(["definitely-not-a-mode"])
+
+
+@requires_reference
+def test_missing_weights_error_is_loud(workspace, tmp_path):
+    """eval without trained weights must raise, not continue with random
+    weights like the reference (vae_utility.py:353-357)."""
+    critic = os.path.join(workspace, "saved-networks", os.path.basename(CRITIC_PT))
+    with pytest.raises(FileNotFoundError):
+        main(["eval", "--root", str(tmp_path), "--critic", critic,
+              "--images", os.path.join(workspace, "source-images")])

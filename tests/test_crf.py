@@ -1,0 +1,69 @@
+"""Dense-CRF extension tests (C++ permutohedral mean-field)."""
+
+import numpy as np
+import pytest
+
+from critic_vae_tpu.crf import densecrf, densecrf_batch, refine_masks
+from critic_vae_tpu.data.synthetic import generate_frames
+from critic_vae_tpu.ops.iou import iou
+
+PARAMS = (22.0, 12.0, 3.1, 8.0, 1.8, 10)  # reference tuple (vae_utility.py:25-30)
+
+
+@pytest.fixture(scope="module")
+def episode():
+    frames, gt = generate_frames(8, seed=3)
+    rng = np.random.default_rng(0)
+    noisy = gt ^ (rng.random(gt.shape) < 0.08)
+    return frames, gt, noisy
+
+
+def test_refinement_improves_noisy_masks(episode):
+    frames, gt, noisy = episode
+    refined = refine_masks(frames, noisy, PARAMS)
+    assert iou(gt, refined) > iou(gt, noisy) + 0.2
+
+
+def test_batch_matches_single(episode):
+    frames, _, noisy = episode
+    batch = refine_masks(frames, noisy, PARAMS)
+    m0 = noisy[0].astype(np.float32)
+    single = densecrf(frames[0], np.stack([1 - m0, m0], axis=-1), PARAMS)
+    np.testing.assert_array_equal(batch[0], single.astype(bool))
+
+
+def test_confident_probs_are_stable():
+    """A clean, high-contrast segmentation should survive CRF unchanged."""
+    img = np.zeros((32, 32, 3), np.uint8)
+    img[:, 16:] = 255
+    mask = np.zeros((32, 32), np.float32)
+    mask[:, 16:] = 1.0
+    seg = densecrf(img, np.stack([1 - mask, mask], axis=-1), PARAMS)
+    assert (seg == mask).mean() > 0.98
+
+
+def test_zero_iters_returns_argmax():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    prob = rng.random((16, 16, 2)).astype(np.float32)
+    prob /= prob.sum(-1, keepdims=True)
+    seg = densecrf(img, prob, (22, 12, 3.1, 8, 1.8, 0))
+    np.testing.assert_array_equal(seg, np.argmax(prob, -1).astype(np.uint8))
+
+
+def test_shape_validation():
+    with pytest.raises(ValueError):
+        densecrf(np.zeros((8, 8, 3), np.uint8), np.zeros((9, 9, 2), np.float32), PARAMS)
+    with pytest.raises(ValueError):
+        densecrf_batch(
+            np.zeros((2, 8, 8, 3), np.uint8), np.zeros((3, 8, 8, 2), np.float32), PARAMS
+        )
+
+
+def test_squeezes_reference_batch1_layout():
+    """The reference passes (1, H, W, 3) frames into denseCRF
+    (vae_utility.py:36-39 via crf_imgs[:, np.newaxis]); accept that shape."""
+    img = np.zeros((1, 16, 16, 3), np.uint8)
+    prob = np.full((16, 16, 2), 0.5, np.float32)
+    seg = densecrf(img, prob, PARAMS)
+    assert seg.shape == (16, 16)

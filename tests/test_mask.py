@@ -1,0 +1,109 @@
+"""Mask-pipeline semantics vs a literal numpy transcription of the
+reference's math (vae_utility.py:256-284, 148-160)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from critic_vae_tpu.models import vae as vae_mod
+from critic_vae_tpu.ops.mask import (
+    diff_images,
+    episode_forward,
+    iou_stacked,
+    normalize_diffs,
+    threshold_masks,
+)
+from tests.conftest import requires_reference
+
+
+def _reference_normalize(diffs, max_values, thr):
+    """Numpy transcription of get_diff_factor + prepare_diff + thresholding
+    (vae_utility.py:106-110, 279-284, 148-160)."""
+    import statistics
+
+    mean_max = statistics.mean([float(m) for m in max_values])
+    diff_factor = 1.0 / mean_max if mean_max != 0 else 0
+    out_u8, out_masks = [], []
+    for d in diffs:
+        d = d.copy()
+        d[d > mean_max] = mean_max
+        d = d * diff_factor
+        d = (d * 255).astype(np.uint8)
+        out_u8.append(d)
+        out_masks.append(d > thr)
+    return np.stack(out_u8), np.stack(out_masks)
+
+
+def test_normalize_matches_reference_math():
+    rng = np.random.default_rng(0)
+    diffs = rng.random((12, 64, 64)).astype(np.float32) * 0.4
+    maxv = diffs.max(axis=(1, 2))
+    ref_u8, ref_masks = _reference_normalize(diffs, maxv, thr=50)
+    ours_u8, _ = normalize_diffs(jnp.asarray(diffs), jnp.asarray(maxv))
+    ours_masks = threshold_masks(ours_u8, jnp.asarray([50]))[0]
+    np.testing.assert_array_equal(np.asarray(ours_u8), ref_u8)
+    np.testing.assert_array_equal(np.asarray(ours_masks), ref_masks)
+
+
+def test_zero_diffs_edge_case():
+    """mean_max == 0 → factor 0, all-black maps (vae.py:100)."""
+    diffs = jnp.zeros((4, 8, 8))
+    u8, mean_max = normalize_diffs(diffs, jnp.zeros((4,)))
+    assert float(mean_max) == 0.0
+    assert np.asarray(u8).sum() == 0
+
+
+def test_threshold_sweep_matches_individual():
+    rng = np.random.default_rng(1)
+    u8 = jnp.asarray(rng.integers(0, 256, (6, 16, 16), dtype=np.uint8))
+    ts = jnp.asarray([0, 50, 120])
+    sweep = np.asarray(threshold_masks(u8, ts))
+    for i, t in enumerate([0, 50, 120]):
+        np.testing.assert_array_equal(sweep[i], np.asarray(u8) > t)
+
+
+def test_diff_images_matches_two_separate_decodes():
+    """The fused 2B double-decode must equal two independent decodes
+    (the reference's two evaluate calls, vae_utility.py:264-265)."""
+    params, state = vae_mod.init_vae_params(jax.random.key(0))
+    x = jax.random.uniform(jax.random.key(1), (5, 64, 64, 3))
+    values = jax.random.uniform(jax.random.key(2), (5,))
+    ro, rz, grey, maxv = diff_images(params, state, x, values)
+
+    mu, _, _ = vae_mod.encode(params, state, x, train=False)
+    ref_ro = vae_mod.decode(params, mu, values)
+    ref_rz = vae_mod.decode(params, mu, jnp.zeros((5,)))
+    np.testing.assert_allclose(np.asarray(ro), np.asarray(ref_ro), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rz), np.asarray(ref_rz), atol=1e-6)
+
+    ref_diff = np.abs(np.asarray(ref_rz) - np.asarray(ref_ro))
+    ref_grey = ref_diff @ np.array([0.2989, 0.5870, 0.1140], np.float32)
+    np.testing.assert_allclose(np.asarray(grey), ref_grey, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(maxv), ref_grey.max(axis=(1, 2)), atol=1e-6)
+
+
+def test_iou_stacked_matches_scalar():
+    from critic_vae_tpu.ops.iou import iou
+
+    rng = np.random.default_rng(3)
+    gt = rng.random((7, 16, 16)) > 0.6
+    masks = np.stack([rng.random((7, 16, 16)) > t for t in (0.3, 0.5, 0.9)])
+    vals = np.asarray(iou_stacked(jnp.asarray(gt), jnp.asarray(masks)))
+    for i in range(3):
+        assert abs(vals[i] - iou(gt, masks[i], round_digits=None)) < 1e-6
+
+
+@requires_reference
+def test_episode_forward_chunking_invariance(critic_params):
+    """Padded-chunk execution must equal one whole-batch call."""
+    from critic_vae_tpu.pipelines.video import episode_device_stage
+
+    params, state = vae_mod.init_vae_params(jax.random.key(0))
+    rng = np.random.default_rng(4)
+    frames = rng.random((10, 64, 64, 3)).astype(np.float32)
+    whole = episode_forward(params, state, critic_params, jnp.asarray(frames))
+    chunked = episode_device_stage(params, state, critic_params, frames, batch_size=4)
+    for k in ("preds", "diff", "max_value"):
+        np.testing.assert_allclose(
+            chunked[k], np.asarray(whole[k]), atol=1e-5, err_msg=k
+        )

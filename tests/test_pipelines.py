@@ -1,0 +1,147 @@
+"""End-to-end pipeline tests on a synthetic episode (CPU mesh, tiny shapes)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from critic_vae_tpu.data.episode import load_episode
+from critic_vae_tpu.models.vae import init_vae_params
+from tests.conftest import requires_reference
+
+
+@pytest.fixture(scope="module")
+def vae():
+    return init_vae_params(jax.random.key(0))
+
+
+@requires_reference
+def test_eval_episode_end_to_end(critic_params, synthetic_episode, vae):
+    from critic_vae_tpu.pipelines.video import bin_diagnostics, eval_episode, write_bin_info
+
+    params, state = vae
+    frames, gt = load_episode(synthetic_episode, episode_slice=None)
+    result = eval_episode(
+        params, state, critic_params, frames, gt, batch_size=16, run_crf=True
+    )
+    n = len(frames)
+    assert result.preds.shape == (n,)
+    assert result.thr_masks.shape == gt.shape
+    assert result.crf_masks.shape == gt.shape
+    assert 0.0 <= result.thr_iou <= 1.0
+    assert 0.0 <= result.crf_iou <= 1.0
+
+    diag = bin_diagnostics(result.preds, gt, result.thr_masks)
+    assert sum(diag["frames"].values()) == n
+    out = os.path.join(synthetic_episode, "bin_info.txt")
+    write_bin_info(diag, out, total_frames=n)
+    text = open(out).read()
+    assert "iou-mean and std:" in text and "frames separated by bin:" in text
+
+
+@requires_reference
+def test_threshold_sweep_consistent_with_single(critic_params, synthetic_episode, vae):
+    from critic_vae_tpu.pipelines.video import eval_episode, threshold_sweep
+
+    params, state = vae
+    frames, gt = load_episode(synthetic_episode, episode_slice=None)
+    sweep = threshold_sweep(
+        params, state, critic_params, frames, gt, thresholds=[30, 50],
+        run_crf=False, batch_size=16,
+    )
+    single = eval_episode(
+        params, state, critic_params, frames, gt, threshold=50,
+        run_crf=False, batch_size=16,
+    )
+    by_t = {r["threshold"]: r["thr_iou"] for r in sweep}
+    assert by_t[50] == single.thr_iou
+
+
+@requires_reference
+def test_evaluate_and_inject_images(critic_params, source_images, vae):
+    from critic_vae_tpu.pipelines import evaluate as ev
+
+    params, state = vae
+    images = source_images[:6]
+    res = ev.evaluate_images(params, state, critic_params, images)
+    assert res["diff_u8"].shape == (6, 64, 64)
+    assert res["diff_u8"].dtype == np.uint8
+    inj = ev.inject_images(params, state, critic_params, images)
+    assert inj["recons"].shape == (6, 6, 64, 64, 3)
+
+
+@requires_reference
+def test_save_strips(tmp_path, critic_params, source_images, vae):
+    from critic_vae_tpu.pipelines import evaluate as ev
+
+    params, state = vae
+    images = source_images[:3]
+    res = ev.evaluate_images(params, state, critic_params, images)
+    paths = ev.save_eval_strips(res, images, str(tmp_path / "images"))
+    assert len(paths) == 3 and all(os.path.exists(p) for p in paths)
+    from PIL import Image
+
+    img = Image.open(paths[0])
+    assert img.size == (64 * 4, 64)  # 4-panel strip
+
+    inj = ev.inject_images(params, state, critic_params, images)
+    ipaths = ev.save_inject_strips(inj, images, str(tmp_path / "inject"))
+    img = Image.open(ipaths[0])
+    assert img.size == (64 * 7, 64)  # orig + 6 injected
+
+
+@requires_reference
+def test_train_and_resume(tmp_path, critic_params):
+    from critic_vae_tpu.pipelines.train import (
+        load_final_weights,
+        save_final_weights,
+        train,
+    )
+
+    rng = np.random.default_rng(0)
+    dset = rng.random((64, 64, 64, 3)).astype(np.float32)
+    ckpt_dir = str(tmp_path / "ckpts")
+    log_dir = str(tmp_path / "logs")
+    state = train(
+        critic_params, dset, epochs=1, batch_size=16, log_dir=log_dir,
+        checkpoint_dir=ckpt_dir, checkpoint_every_steps=2, progress=False,
+    )
+    assert int(state.step) == 4  # 64/16 batches
+    assert os.path.exists(os.path.join(log_dir, "metrics.jsonl"))
+
+    # resume continues from the saved step
+    state2 = train(
+        critic_params, dset, epochs=2, batch_size=16,
+        checkpoint_dir=ckpt_dir, progress=False,
+    )
+    assert int(state2.step) == 8
+
+    # final-weights roundtrip
+    enc, dec = str(tmp_path / "enc.npz"), str(tmp_path / "dec.npz")
+    save_final_weights(state2, enc, dec)
+    like_p, like_bn = init_vae_params(jax.random.key(0))
+    params, bn = load_final_weights(enc, dec, like_p, like_bn)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(jax.device_get(state2.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@requires_reference
+def test_gif_writer(tmp_path, critic_params, synthetic_episode, vae):
+    from critic_vae_tpu.pipelines.video import compose_frames, eval_episode
+    from critic_vae_tpu.viz.gif import write_gif
+
+    params, state = vae
+    frames, gt = load_episode(synthetic_episode, episode_slice=None)
+    frames, gt = frames[:6], gt[:6]
+    result = eval_episode(
+        params, state, critic_params, frames, gt, batch_size=8, run_crf=False
+    )
+    result.crf_masks = np.zeros_like(result.thr_masks)
+    strips = compose_frames(frames, result, gt, threshold=50)
+    assert strips[0].size == (64 * 7, 128)  # 7 panels, double height
+    out = write_gif(strips, str(tmp_path / "v.gif"))
+    from PIL import Image
+
+    gif = Image.open(out)
+    assert gif.is_animated and gif.n_frames == 6
