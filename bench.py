@@ -1,0 +1,94 @@
+"""Benchmark: video-pipeline throughput (64×64 frames/sec/chip).
+
+Measures the on-device mask-video pipeline — critic score + encode +
+double-decode + |diff| greyscale + per-frame max + mean-max normalization +
+threshold masks — the fused equivalent of the reference's per-frame loop
+(reference: vae_utility.py:162-184, run at batch size 1 per frame there).
+
+Baseline target: >50,000 frames/sec/chip (BASELINE.json north_star; the
+reference publishes no numbers of its own — BASELINE.md).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from critic_vae_tpu.data.synthetic import generate_frames
+    from critic_vae_tpu.models.critic import load_critic
+    from critic_vae_tpu.models.vae import init_vae_params
+    from critic_vae_tpu.ops.mask import episode_forward, normalize_diffs, threshold_masks
+
+    batch = int(os.environ.get("BENCH_BATCH", 2048))
+    iters = int(os.environ.get("BENCH_ITERS", 20))
+
+    critic_path = (
+        "/root/reference/saved-networks/"
+        "critic-rewidx=1-cepochs=15-datamode=trunk-datasize=99999-shift=12-"
+        "chfak=1-dropout=0.3.pt"
+    )
+    if os.path.exists(critic_path):
+        critic_params = load_critic(critic_path)
+    else:  # fall back to random critic weights (same architecture/cost)
+        from critic_vae_tpu.models.critic import critic_params_from_torch
+
+        rng = np.random.default_rng(0)
+        shapes = {
+            "features.0.weight": (8, 3, 3, 3), "features.0.bias": (8,),
+            "features.3.weight": (8, 8, 3, 3), "features.3.bias": (8,),
+            "features.6.weight": (8, 8, 3, 3), "features.6.bias": (8,),
+            "features.10.weight": (16, 8, 3, 3), "features.10.bias": (16,),
+            "features.14.weight": (32, 16, 4, 4), "features.14.bias": (32,),
+            "crit.1.weight": (32, 32), "crit.1.bias": (32,),
+            "crit.4.weight": (1, 32), "crit.4.bias": (1,),
+        }
+        critic_params = critic_params_from_torch(
+            {k: rng.normal(0, 0.1, s).astype(np.float32) for k, s in shapes.items()}
+        )
+
+    vae_params, bn_state = init_vae_params(jax.random.key(0))
+
+    frames_u8, _ = generate_frames(batch, seed=0)
+    frames = jnp.asarray(frames_u8.astype(np.float32) / 255.0)
+    thresholds = jnp.asarray(list(range(0, 130, 10)))
+
+    @jax.jit
+    def pipeline(frames):
+        out = episode_forward(vae_params, bn_state, critic_params, frames)
+        diff_u8, _ = normalize_diffs(out["diff"], out["max_value"])
+        masks = threshold_masks(diff_u8, thresholds)
+        return out["preds"], diff_u8, masks
+
+    # warm-up / compile
+    jax.block_until_ready(pipeline(frames))
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        res = pipeline(frames)
+    jax.block_until_ready(res)
+    dt = time.perf_counter() - t0
+
+    fps = batch * iters / dt
+    baseline = 50_000.0
+    print(
+        json.dumps(
+            {
+                "metric": "video_pipeline_frames_per_sec_per_chip",
+                "value": round(fps, 1),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
