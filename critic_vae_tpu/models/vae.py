@@ -172,7 +172,9 @@ def reparametrize(key: jax.Array, mu: jnp.ndarray, logvar: jnp.ndarray) -> jnp.n
     return mu + eps * std
 
 
-def decode(params: Params, z: jnp.ndarray, value: jnp.ndarray) -> jnp.ndarray:
+def decode(
+    params: Params, z: jnp.ndarray, value: jnp.ndarray, *, fused: bool = True
+) -> jnp.ndarray:
     """Decode latents with injected critic values.
 
     Args:
@@ -180,10 +182,15 @@ def decode(params: Params, z: jnp.ndarray, value: jnp.ndarray) -> jnp.ndarray:
       z: (B, 32) latents.
       value: (B,) or (B, 1) critic values, concatenated onto the latent
         (the defining trick of the reference — vae_nets.py:143).
+      fused: use the phase-decomposed upsample+conv path (2.1× fewer decoder
+        FLOPs, no upsampled tensors in HBM — ops/upconv.py). Numerically
+        equal to the literal repeat-then-conv graph up to f32 reassociation.
 
     Returns:
       (B, 64, 64, 3) reconstructions in (-1, 1) (final Tanh).
     """
+    from critic_vae_tpu.ops.upconv import upsample2_conv5
+
     dec = params["decoder"]
     if value.ndim == 1:
         value = value[:, None]
@@ -191,6 +198,17 @@ def decode(params: Params, z: jnp.ndarray, value: jnp.ndarray) -> jnp.ndarray:
     h = zin @ dec["input"]["w"].astype(z.dtype) + dec["input"]["b"].astype(z.dtype)
     # channel-major unflatten, then to NHWC (torch views 4096 as (256,4,4))
     x = h.reshape(-1, 256, 4, 4).transpose(0, 2, 3, 1)
+    # Reference graph: 4×[conv5×5 → ReLU → nearest ×2] → conv5×5 → Tanh
+    # (vae_nets.py:116-135). ReLU commutes with nearest-upsampling, so each
+    # upsample→conv pair fuses into 4 small phase convs.
+    if fused:
+        x = jax.nn.relu(_conv5_same(x, dec["conv0"]["w"], dec["conv0"]["b"]))
+        for i in (1, 2, 3):
+            x = jax.nn.relu(
+                upsample2_conv5(x, dec[f"conv{i}"]["w"], dec[f"conv{i}"]["b"])
+            )
+        x = upsample2_conv5(x, dec["conv4"]["w"], dec["conv4"]["b"])
+        return jnp.tanh(x)
     for i in range(4):
         x = _conv5_same(x, dec[f"conv{i}"]["w"], dec[f"conv{i}"]["b"])
         x = jax.nn.relu(x)

@@ -102,25 +102,42 @@ def iou_stacked(gt: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(union == 0, 1.0, tp / jnp.maximum(union, 1))
 
 
-@functools.partial(jax.jit, static_argnames=("batched",))
+@functools.partial(jax.jit, static_argnames=("with_recons", "compute_dtype"))
 def episode_forward(
-    vae_params, bn_state, critic_params, frames: jnp.ndarray, *, batched: bool = True
+    vae_params,
+    bn_state,
+    critic_params,
+    frames: jnp.ndarray,
+    *,
+    with_recons: bool = True,
+    compute_dtype: str = "float32",
 ):
     """Fused per-frame stage of the video pipeline: critic score + double
     decode + diff/greyscale/max, one XLA program over the whole frame batch
     (reference loops frames at batch 1: vae_utility.py:171-181).
 
-    Returns dict(preds (B,), recon_one, recon_zero, diff (B,H,W) f32,
-    max_value (B,)).
+    Args:
+      with_recons: also return the two reconstructions (needed for panel
+        composition). ``False`` lets XLA fuse the decoder epilogue straight
+        into the diff reduction and skip materializing both (2B, 64, 64, 3)
+        recon tensors in HBM — the mask/IoU path needs only the diff maps.
+      compute_dtype: "float32" (parity default) or "bfloat16" (halves HBM
+        traffic on this memory-bound pipeline).
+
+    Returns dict(preds (B,), diff (B,H,W) f32, max_value (B,) [, recon_one,
+    recon_zero]).
     """
-    preds = critic_mod.critic_apply(critic_params, frames)[:, 0]
+    x = frames.astype(jnp.dtype(compute_dtype))
+    preds = critic_mod.critic_apply(critic_params, x)[:, 0]
     recon_one, recon_zero, diff, max_value = diff_images(
-        vae_params, bn_state, frames, preds
+        vae_params, bn_state, x, preds
     )
-    return {
-        "preds": preds,
-        "recon_one": recon_one,
-        "recon_zero": recon_zero,
-        "diff": diff,
-        "max_value": max_value,
+    out = {
+        "preds": preds.astype(jnp.float32),
+        "diff": diff.astype(jnp.float32),
+        "max_value": max_value.astype(jnp.float32),
     }
+    if with_recons:
+        out["recon_one"] = recon_one.astype(jnp.float32)
+        out["recon_zero"] = recon_zero.astype(jnp.float32)
+    return out

@@ -1,8 +1,16 @@
-"""Training pipeline: epochs, sharded batches, logging, checkpoint/resume.
+"""Training pipeline: epochs, HBM-resident data, logging, checkpoint/resume.
 
 Reference behavior (vae.py:33-66): 7 epochs over ~50k frames, per-epoch
 shuffle, batch 128 with the tail batch dropped, Adam lr 5e-5, TB scalars
 every 30 batches at step ``batch_i + num_samples·ep``, save at the end.
+
+TPU-first redesign of the data path: the reference ships every batch
+host→device inside its Python loop (vae.py:47-48). Here the whole dataset is
+device-put ONCE (uint8 → ~12 KB/frame) and each dispatch runs a chunk of
+optimization steps under ``lax.scan`` with device-side batch gathers — the
+host sends only a (K, B) int32 index array per chunk. Measured on the
+tunneled v5e backend, per-batch host transfer costs ~130 ms vs ~5 ms of
+compute; this driver removes it entirely.
 
 Greenfield beyond the reference (SURVEY §5): periodic checkpoints with
 optimizer state + RNG + step, crash-safe resume, JSONL metric mirror, and
@@ -16,12 +24,13 @@ import time
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from critic_vae_tpu.io import checkpoint as ckpt_io
 from critic_vae_tpu.io.events import MetricLogger
-from critic_vae_tpu.parallel.mesh import make_mesh, replicate, shard_batch
-from critic_vae_tpu.train.step import TrainState, init_train_state, make_train_step
+from critic_vae_tpu.parallel.mesh import make_mesh, replicate
+from critic_vae_tpu.train.step import TrainState, init_train_state, make_multi_step
 
 
 def train(
@@ -43,75 +52,103 @@ def train(
     initial_state: Optional[TrainState] = None,
     progress: bool = True,
 ) -> TrainState:
-    """Train the VAE on (N, 64, 64, 3) float frames in [0, 1].
+    """Train the VAE on (N, 64, 64, 3) frames — float in [0, 1] or uint8.
 
     Returns the final TrainState (params + BN stats + optimizer + step).
     """
-    dataset = np.asarray(dataset, np.float32)
+    dataset = np.asarray(dataset)
     if dataset.ndim != 4:
         raise ValueError(f"dataset must be (N, H, W, C), got {dataset.shape}")
+    if dataset.dtype != np.uint8:
+        dataset = dataset.astype(np.float32)
     num_samples = len(dataset)
+    steps_per_epoch = num_samples // batch_size
+    if steps_per_epoch == 0:
+        raise ValueError(
+            f"dataset of {num_samples} frames is smaller than one batch ({batch_size})"
+        )
+    # one scan chunk per logging interval: metrics row 0 of each chunk lands
+    # exactly on the reference's every-30-batches cadence
+    chunk = max(min(log_every_batches, steps_per_epoch), 1)
 
     mesh = make_mesh() if use_mesh else None
     state, tx = init_train_state(jax.random.key(seed), learning_rate)
     if initial_state is not None:
         state = initial_state
 
-    start_epoch = 0
+    start_step = 0
     if resume and checkpoint_dir:
         latest = ckpt_io.latest_checkpoint(checkpoint_dir)
         if latest is not None:
             state = ckpt_io.restore_train_state(latest[0], state)
-            steps_per_epoch = num_samples // batch_size
-            start_epoch = int(state.step) // max(steps_per_epoch, 1)
-            print(f"resumed from {latest[0]} (step {latest[1]})")
+            start_step = int(latest[1])
+            print(f"resumed from {latest[0]} (step {start_step})")
 
     if mesh is not None:
         state = replicate(mesh, state)
         critic_params = replicate(mesh, critic_params)
-    step_fn = make_train_step(
-        critic_params, tx, kld_weight=kld_weight, mesh=mesh
-    )
+        dataset_dev = replicate(mesh, dataset)
+    else:
+        dataset_dev = jnp.asarray(dataset)
+
+    multi_step = make_multi_step(critic_params, tx, kld_weight=kld_weight, mesh=mesh)
 
     logger = MetricLogger(log_dir) if log_dir else None
     shuffle_rng = np.random.default_rng(seed)
-    # fast-forward the shuffle stream for resumed epochs (determinism)
-    for _ in range(start_epoch):
+    start_epoch = start_step // max(steps_per_epoch, 1)
+    for _ in range(start_epoch):  # keep the shuffle stream deterministic on resume
         shuffle_rng.permutation(num_samples)
 
     t0 = time.time()
-    metrics = None
+    last_metrics = None
+    last_ckpt_step = start_step
     try:
         for ep in range(start_epoch, epochs):
             order = shuffle_rng.permutation(num_samples)
             # drop the tail batch like the reference (vae.py:44-46)
-            for bi, start in enumerate(range(0, num_samples - batch_size + 1, batch_size)):
-                batch = dataset[order[start : start + batch_size]]
-                batch = shard_batch(mesh, batch) if mesh is not None else jax.numpy.asarray(batch)
-                state, metrics = step_fn(state, batch)
+            idx_epoch = order[: steps_per_epoch * batch_size].reshape(
+                steps_per_epoch, batch_size
+            )
+            done = 0
+            # skip chunks already covered by a resumed checkpoint
+            resume_skip = max(start_step - ep * steps_per_epoch, 0)
+            while done < steps_per_epoch:
+                k = min(chunk, steps_per_epoch - done)
+                idx = idx_epoch[done : done + k].astype(np.int32)
+                if resume_skip >= k:
+                    resume_skip -= k
+                    done += k
+                    continue
+                state, metrics = multi_step(state, dataset_dev, jnp.asarray(idx))
+                # one bulk device_get — per-element device indexing costs
+                # ~40 ms/scalar through a tunneled PJRT backend
+                host = jax.device_get(metrics)
+                last_metrics = {k2: float(v[-1]) for k2, v in host.items()}
+                first = {k2: float(v[0]) for k2, v in host.items()}
 
-                if bi % log_every_batches == 0:
-                    # reference log step: batch_i + num_samples*ep (vae.py:64)
-                    log_step = start + num_samples * ep
-                    if logger:
-                        logger.log(
-                            {k: float(v) for k, v in metrics.items()}, log_step
-                        )
-                    if progress:
-                        imgs_done = num_samples * ep + start + batch_size
-                        rate = imgs_done / max(time.time() - t0, 1e-9)
-                        print(
-                            f"    ep:{ep}, imgs:{imgs_done}, "
-                            f"loss:{float(metrics['total_loss']):.4f}, "
-                            f"{rate:.0f} img/s",
-                            end="\r",
-                        )
+                log_step = done * batch_size + num_samples * ep  # vae.py:64
+                if logger:
+                    logger.log(first, log_step)
+                if progress:
+                    imgs_done = num_samples * ep + (done + k) * batch_size
+                    rate = (imgs_done - start_step * batch_size) / max(
+                        time.time() - t0, 1e-9
+                    )
+                    print(
+                        f"    ep:{ep}, imgs:{imgs_done}, "
+                        f"loss:{last_metrics['total_loss']:.4f}, "
+                        f"{rate:.0f} img/s",
+                        end="\r",
+                    )
+                done += k
+                cur_step = ep * steps_per_epoch + done
                 if (
                     checkpoint_dir
-                    and int(state.step) % checkpoint_every_steps == 0
+                    and cur_step - last_ckpt_step >= checkpoint_every_steps
                 ):
                     _save_ckpt(checkpoint_dir, state, keep_checkpoints)
-        if progress and metrics is not None:
+                    last_ckpt_step = cur_step
+        if progress and last_metrics is not None:
             print()
     finally:
         if logger:

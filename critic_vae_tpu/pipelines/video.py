@@ -55,7 +55,8 @@ class EpisodeResult:
 
 def episode_device_stage(
     vae_params, bn_state, critic_params, frames_f32: np.ndarray,
-    batch_size: int = 512,
+    batch_size: int = 512, *, with_recons: bool = True,
+    compute_dtype: str = "float32",
 ) -> Dict[str, np.ndarray]:
     """Run the fused per-frame stage over the episode in padded chunks.
 
@@ -63,18 +64,23 @@ def episode_device_stage(
     (SURVEY §7: static shapes). Returns host arrays.
     """
     n = len(frames_f32)
-    outs: Dict[str, List[np.ndarray]] = {
-        k: [] for k in ("preds", "recon_one", "recon_zero", "diff", "max_value")
-    }
+    keys = ("preds", "diff", "max_value") + (
+        ("recon_one", "recon_zero") if with_recons else ()
+    )
+    outs: Dict[str, List[np.ndarray]] = {k: [] for k in keys}
     for i in range(0, n, batch_size):
         chunk = frames_f32[i : i + batch_size]
         valid = len(chunk)
         if valid < batch_size:
             pad = np.repeat(chunk[-1:], batch_size - valid, axis=0)
             chunk = np.concatenate([chunk, pad], axis=0)
-        res = episode_forward(vae_params, bn_state, critic_params, jnp.asarray(chunk))
-        for k in outs:
-            outs[k].append(np.asarray(res[k])[:valid])
+        res = episode_forward(
+            vae_params, bn_state, critic_params, jnp.asarray(chunk),
+            with_recons=with_recons, compute_dtype=compute_dtype,
+        )
+        host = jax.device_get({k: res[k] for k in keys})
+        for k in keys:
+            outs[k].append(host[k][:valid])
     return {k: np.concatenate(v, axis=0) for k, v in outs.items()}
 
 
@@ -90,6 +96,7 @@ def eval_episode(
     run_crf: bool = True,
     batch_size: int = 512,
     num_threads: int = 0,
+    compute_dtype: str = "float32",
 ) -> EpisodeResult:
     """Full mask pipeline over an episode (reference: eval_textured_frames).
 
@@ -99,7 +106,10 @@ def eval_episode(
       gt: (N, H, W) bool ground truth, or None to skip IoU/CRF scoring.
     """
     frames_f32 = frames_u8.astype(np.float32) / 255.0
-    dev = episode_device_stage(vae_params, bn_state, critic_params, frames_f32, batch_size)
+    dev = episode_device_stage(
+        vae_params, bn_state, critic_params, frames_f32, batch_size,
+        compute_dtype=compute_dtype,
+    )
 
     diff_u8, _ = normalize_diffs(jnp.asarray(dev["diff"]), jnp.asarray(dev["max_value"]))
     thr = threshold_masks(diff_u8, jnp.asarray([threshold]))[0]
@@ -140,6 +150,7 @@ def threshold_sweep(
     run_crf: bool = True,
     batch_size: int = 512,
     num_threads: int = 0,
+    compute_dtype: str = "float32",
 ) -> List[Dict]:
     """Threshold sweep with reconstructions computed once.
 
@@ -149,7 +160,10 @@ def threshold_sweep(
     threshold (its input mask differs).
     """
     frames_f32 = frames_u8.astype(np.float32) / 255.0
-    dev = episode_device_stage(vae_params, bn_state, critic_params, frames_f32, batch_size)
+    dev = episode_device_stage(
+        vae_params, bn_state, critic_params, frames_f32, batch_size,
+        with_recons=False, compute_dtype=compute_dtype,
+    )
     diff_u8, _ = normalize_diffs(jnp.asarray(dev["diff"]), jnp.asarray(dev["max_value"]))
     t_arr = jnp.asarray(list(thresholds))
     masks = threshold_masks(diff_u8, t_arr)  # (T, N, H, W)

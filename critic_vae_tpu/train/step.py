@@ -57,6 +57,44 @@ def init_train_state(
     )
 
 
+def _step_logic(
+    state: TrainState,
+    batch: jnp.ndarray,
+    critic_params: Any,
+    tx: optax.GradientTransformation,
+    kld_weight: float,
+    faithful_msssim: bool,
+    compute_dtype,
+):
+    """One optimization step (pure; shared by the per-call and scan drivers)."""
+    rng, sample_key = jax.random.split(state.rng)
+    if batch.dtype == jnp.uint8:  # HBM-resident uint8 datasets normalize on device
+        batch = batch.astype(compute_dtype) / jnp.asarray(255.0, compute_dtype)
+    x = batch.astype(compute_dtype)
+    # Frozen critic labels computed on the fly, inside the same XLA
+    # program (reference recomputes them per batch too — vae.py:50).
+    preds = jax.lax.stop_gradient(critic_mod.critic_apply(critic_params, x))
+
+    def loss_fn(params):
+        recon, mu, logvar, new_bn = vae_mod.vae_apply(
+            params, state.bn_state, sample_key, x, preds, train=True
+        )
+        losses = vae_loss(
+            x.astype(jnp.float32),
+            mu.astype(jnp.float32),
+            logvar.astype(jnp.float32),
+            recon.astype(jnp.float32),
+            kld_weight=kld_weight,
+            faithful=faithful_msssim,
+        )
+        return losses["total_loss"], (losses, new_bn)
+
+    grads, (losses, new_bn) = jax.grad(loss_fn, has_aux=True)(state.params)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    return TrainState(new_params, new_bn, new_opt, rng, state.step + 1), losses
+
+
 def make_train_step(
     critic_params: Any,
     tx: optax.GradientTransformation,
@@ -75,33 +113,9 @@ def make_train_step(
     """
 
     def step(state: TrainState, batch: jnp.ndarray):
-        rng, sample_key = jax.random.split(state.rng)
-        x = batch.astype(compute_dtype)
-        # Frozen critic labels computed on the fly, inside the same XLA
-        # program (reference recomputes them per batch too — vae.py:50).
-        preds = jax.lax.stop_gradient(critic_mod.critic_apply(critic_params, x))
-
-        def loss_fn(params):
-            recon, mu, logvar, new_bn = vae_mod.vae_apply(
-                params, state.bn_state, sample_key, x, preds, train=True
-            )
-            losses = vae_loss(
-                x.astype(jnp.float32),
-                mu.astype(jnp.float32),
-                logvar.astype(jnp.float32),
-                recon.astype(jnp.float32),
-                kld_weight=kld_weight,
-                faithful=faithful_msssim,
-            )
-            return losses["total_loss"], (losses, new_bn)
-
-        grads, (losses, new_bn) = jax.grad(loss_fn, has_aux=True)(state.params)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(
-            new_params, new_bn, new_opt, rng, state.step + 1
+        return _step_logic(
+            state, batch, critic_params, tx, kld_weight, faithful_msssim, compute_dtype
         )
-        return new_state, losses
 
     if mesh is not None:
         repl = NamedSharding(mesh, P())
@@ -114,3 +128,52 @@ def make_train_step(
             donate_argnums=(0,) if donate else (),
         )
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_multi_step(
+    critic_params: Any,
+    tx: optax.GradientTransformation,
+    *,
+    kld_weight: float = 1e-3,
+    faithful_msssim: bool = True,
+    mesh: Optional[Mesh] = None,
+    compute_dtype: jnp.dtype = jnp.float32,
+    donate: bool = True,
+):
+    """Build the scan-based multi-step driver for HBM-resident datasets.
+
+    The reference copies every batch host→device inside its Python batch loop
+    (vae.py:47-48). On TPU (and especially through a remote-tunnel PJRT
+    backend) that transfer dwarfs the math — measured ~130 ms to ship one
+    128-frame batch vs ~5 ms to train on it. This driver keeps the WHOLE
+    dataset device-resident (uint8: 50k frames ≈ 600 MB of HBM) and runs
+    ``K`` optimization steps per dispatch under ``lax.scan``; the host only
+    supplies a (K, B) int32 index array per call (a few KB).
+
+    Returns ``multi_step(state, dataset, idx) -> (state, metrics)`` with
+    ``dataset`` (N, H, W, C) uint8 or float on device, ``idx`` (K, B) int32;
+    metrics are stacked per-step scalars of shape (K,).
+    """
+
+    def multi_step(state: TrainState, dataset: jnp.ndarray, idx: jnp.ndarray):
+        def body(st, batch_idx):
+            batch = jnp.take(dataset, batch_idx, axis=0)
+            return _step_logic(
+                st, batch, critic_params, tx, kld_weight, faithful_msssim, compute_dtype
+            )
+
+        return jax.lax.scan(body, state, idx)
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        # dataset replicated; indices sharded along batch → each device
+        # gathers and trains on its local batch shard.
+        idx_sh = NamedSharding(mesh, P(None, "data"))
+        scalar = NamedSharding(mesh, P())
+        return jax.jit(
+            multi_step,
+            in_shardings=(repl, repl, idx_sh),
+            out_shardings=(repl, scalar),
+            donate_argnums=(0,) if donate else (),
+        )
+    return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
