@@ -75,13 +75,16 @@ def main() -> None:
         masks = threshold_masks(diff_u8, thresholds)
         return out["preds"], diff_u8, masks
 
-    # warm-up / compile
-    jax.block_until_ready(pipeline(frames))
+    # warm-up / compile (np.asarray is a true host barrier: the device queue
+    # is in-order, so fetching the last output forces everything before it;
+    # block_until_ready alone proved unreliable on tunneled PJRT backends)
+    np.asarray(pipeline(frames)[0])
 
     t0 = time.perf_counter()
+    res = None
     for _ in range(iters):
         res = pipeline(frames)
-    jax.block_until_ready(res)
+    np.asarray(res[0])  # barrier: 8 KB fetch, ~0.1 ms
     dt = time.perf_counter() - t0
 
     fps = batch * iters / dt

@@ -34,6 +34,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--root", default=".", help="working directory (paths resolve against it)")
     p.add_argument("--critic", default=None, help="critic .pt checkpoint path")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="capture a JAX/XLA profiler trace of the device stage into DIR",
+    )
 
 
 def _add_vae_weights(p: argparse.ArgumentParser, second: bool = False) -> None:
@@ -222,22 +226,26 @@ def cmd_video(args) -> int:
         return 1
     print(f"processing {len(frames)} frames...")
 
+    from critic_vae_tpu.utils.profiling import profile_trace
+
     if args.sweep:
         print("testing thresholds (thr):")
-        results = vid.threshold_sweep(
+        with profile_trace(args.profile):
+            results = vid.threshold_sweep(
             vae_params, bn_state, critic_params, frames, gt,
-            cfg.mask.threshold_sweep, run_crf=not args.no_crf,
-            batch_size=args.batch_size, compute_dtype=args.dtype,
-        )
+                cfg.mask.threshold_sweep, run_crf=not args.no_crf,
+                batch_size=args.batch_size, compute_dtype=args.dtype,
+            )
         for r in results:
             print(f"thr={r['threshold']}, thr_iou={r['thr_iou']}, crf_iou={r['crf_iou']}")
         return 0
 
-    result = vid.eval_episode(
-        vae_params, bn_state, critic_params, frames, gt,
-        threshold=args.threshold, run_crf=not args.no_crf,
-        batch_size=args.batch_size, compute_dtype=args.dtype,
-    )
+    with profile_trace(args.profile):
+        result = vid.eval_episode(
+            vae_params, bn_state, critic_params, frames, gt,
+            threshold=args.threshold, run_crf=not args.no_crf,
+            batch_size=args.batch_size, compute_dtype=args.dtype,
+        )
     print(f"thr_iou={result.thr_iou}")
     print(f"crf_iou={result.crf_iou}")
 

@@ -237,6 +237,30 @@ def evaluate(params: Params, state: State, x: jnp.ndarray, value: jnp.ndarray) -
     return decode(params, mu, value)
 
 
+def recon_samples(
+    params: Params, state: State, key: jax.Array, x: jnp.ndarray,
+    value: jnp.ndarray, n_samples: int = 6,
+) -> jnp.ndarray:
+    """n stochastic reconstructions of each frame at a fixed injected value.
+
+    API parity with the reference's (unused) ``recon_samples``
+    (vae_nets.py:21-29), which loops 6 reparametrize+decode calls; here all
+    B×n decodes run as one batched call.
+
+    Returns (B, n_samples, 64, 64, 3).
+    """
+    mu, logvar, _ = encode(params, state, x, train=False)
+    b = mu.shape[0]
+    mu_rep = jnp.repeat(mu, n_samples, axis=0)
+    logvar_rep = jnp.repeat(logvar, n_samples, axis=0)
+    z = reparametrize(key, mu_rep, logvar_rep)
+    if value.ndim == 0:
+        value = jnp.full((b,), value)
+    val_rep = jnp.repeat(value.reshape(b), n_samples, axis=0)
+    recon = decode(params, z, val_rep)
+    return recon.reshape(b, n_samples, *recon.shape[1:])
+
+
 def inject(
     params: Params, state: State, x: jnp.ndarray,
     values: jnp.ndarray = None,
