@@ -173,7 +173,8 @@ def reparametrize(key: jax.Array, mu: jnp.ndarray, logvar: jnp.ndarray) -> jnp.n
 
 
 def decode(
-    params: Params, z: jnp.ndarray, value: jnp.ndarray, *, fused: bool = True
+    params: Params, z: jnp.ndarray, value: jnp.ndarray, *, fused: bool = True,
+    apply_tanh: bool = True,
 ) -> jnp.ndarray:
     """Decode latents with injected critic values.
 
@@ -208,13 +209,13 @@ def decode(
                 upsample2_conv5(x, dec[f"conv{i}"]["w"], dec[f"conv{i}"]["b"])
             )
         x = upsample2_conv5(x, dec["conv4"]["w"], dec["conv4"]["b"])
-        return jnp.tanh(x)
+        return jnp.tanh(x) if apply_tanh else x
     for i in range(4):
         x = _conv5_same(x, dec[f"conv{i}"]["w"], dec[f"conv{i}"]["b"])
         x = jax.nn.relu(x)
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # nearest ×2
     x = _conv5_same(x, dec["conv4"]["w"], dec["conv4"]["b"])
-    return jnp.tanh(x)
+    return jnp.tanh(x) if apply_tanh else x
 
 
 def vae_apply(
