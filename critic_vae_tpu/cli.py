@@ -104,6 +104,24 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--batch-size", type=int, default=128)
     s.add_argument("--lr", type=float, default=5e-5)
 
+    tc = sub.add_parser(
+        "traincritic",
+        help="train a framework-native critic from labeled episodes "
+        "(new capability — the reference only consumes pretrained critics)",
+    )
+    _add_common(tc)
+    tc.add_argument(
+        "--episodes", default=None,
+        help="directory of episode dirs (X.npy + Y.npy); labels derive from Y masks. "
+        "Default: synthetic data",
+    )
+    tc.add_argument("--synthetic-frames", type=int, default=12800)
+    tc.add_argument("--epochs", type=int, default=15)
+    tc.add_argument("--batch-size", type=int, default=128)
+    tc.add_argument("--lr", type=float, default=1e-3)
+    tc.add_argument("--dropout", type=float, default=0.3)
+    tc.add_argument("--out", default=None, help="output critic .npz path")
+
     return ap
 
 
@@ -304,8 +322,58 @@ def cmd_second(args) -> int:
     return 0
 
 
+def cmd_traincritic(args) -> int:
+    cfg = _cfg(args)
+    import glob
+
+    import numpy as np
+
+    from critic_vae_tpu.data.episode import load_episode
+    from critic_vae_tpu.models.critic import save_critic
+    from critic_vae_tpu.train.critic import (
+        critic_accuracy,
+        labels_from_masks,
+        train_critic,
+    )
+
+    if args.episodes:
+        frames_list, gt_list = [], []
+        dirs = sorted(
+            d for d in glob.glob(os.path.join(args.episodes, "*"))
+            if os.path.isfile(os.path.join(d, "X.npy"))
+        )
+        if os.path.isfile(os.path.join(args.episodes, "X.npy")):
+            dirs.insert(0, args.episodes)
+        if not dirs:
+            print(f"error: no episodes (X.npy/Y.npy) under {args.episodes}", file=sys.stderr)
+            return 1
+        for d in dirs:
+            f, g = load_episode(d, episode_slice=None)
+            frames_list.append(f)
+            gt_list.append(g)
+        frames = np.concatenate(frames_list)
+        gt = np.concatenate(gt_list)
+    else:
+        from critic_vae_tpu.data.synthetic import generate_frames
+
+        frames, gt = generate_frames(args.synthetic_frames, seed=args.seed)
+    labels = labels_from_masks(gt)
+    print(f"training critic on {len(frames)} frames ({labels.mean():.0%} positive)...")
+    params, loss = train_critic(
+        frames, labels, epochs=args.epochs, batch_size=args.batch_size,
+        learning_rate=args.lr, dropout_rate=args.dropout, seed=args.seed,
+    )
+    acc = critic_accuracy(params, frames, labels)
+    out = args.out or str(cfg.paths.resolve("saved-networks/critic.npz"))
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    save_critic(out, params)
+    print(f"final loss={loss:.4f} train acc={acc:.3f}; saved {out}")
+    return 0
+
+
 COMMANDS = {
     "train": cmd_train,
+    "traincritic": cmd_traincritic,
     "eval": cmd_eval,
     "inject": cmd_inject,
     "evalsecond": cmd_evalsecond,

@@ -45,7 +45,14 @@ def _maxpool2(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def critic_apply(
-    params: Params, x: jnp.ndarray, *, collect: bool = False
+    params: Params,
+    x: jnp.ndarray,
+    *,
+    collect: bool = False,
+    train: bool = False,
+    dropout_rate: float = 0.5,
+    rng: jax.Array | None = None,
+    return_logits: bool = False,
 ) -> jnp.ndarray | Tuple[jnp.ndarray, List[jnp.ndarray]]:
     """Tree-trunk probability for a batch of frames.
 
@@ -54,12 +61,29 @@ def critic_apply(
       x: (B, 64, 64, 3) float frames in [0, 1], NHWC.
       collect: also return the post-pool feature maps (reference
         critic_net.py:49-52 ``collect`` path).
+      train: enable dropout (reference positions: after the pools of blocks
+        3 and 4 and after the MLP ReLU — critic_net.py:25,29,39). The
+        reference only ships a frozen eval-mode critic; train mode exists so
+        the framework can produce its own critics (train/critic.py).
+      rng: dropout key (required when ``train``).
+      return_logits: return pre-sigmoid logits (stable BCE training).
 
     Returns:
-      (B, 1) probabilities in (0, 1); with ``collect``, also a list of five
-      intermediate activations.
+      (B, 1) probabilities in (0, 1) (or logits); with ``collect``, also a
+      list of five intermediate activations.
     """
     dtype = x.dtype
+    if train and rng is None:
+        raise ValueError("train=True requires a dropout rng")
+    keys = jax.random.split(rng, 3) if train else [None] * 3
+
+    def dropout(h, key):
+        if not train or dropout_rate == 0.0:
+            return h
+        keep = 1.0 - dropout_rate
+        mask = jax.random.bernoulli(key, keep, h.shape)
+        return jnp.where(mask, h / keep, 0.0).astype(h.dtype)
+
     embeds: List[jnp.ndarray] = []
     for i in range(4):
         x = _conv_same(x, params[f"conv{i}_w"].astype(dtype), params[f"conv{i}_b"].astype(dtype))
@@ -67,6 +91,10 @@ def critic_apply(
         x = _maxpool2(x)
         if collect:
             embeds.append(x)
+        if i == 2:
+            x = dropout(x, keys[0])
+        elif i == 3:
+            x = dropout(x, keys[1])
     # valid 4×4 conv: (B,4,4,16) → (B,1,1,32)
     x = jax.lax.conv_general_dilated(
         x, params["conv4_w"].astype(dtype), window_strides=(1, 1), padding="VALID",
@@ -78,11 +106,38 @@ def critic_apply(
 
     h = x.reshape(x.shape[0], -1)  # (B, 32)
     h = jax.nn.relu(h @ params["fc0_w"].astype(dtype) + params["fc0_b"].astype(dtype))
+    h = dropout(h, keys[2])
     logit = h @ params["fc1_w"].astype(dtype) + params["fc1_b"].astype(dtype)
-    pred = jax.nn.sigmoid(logit)
+    pred = logit if return_logits else jax.nn.sigmoid(logit)
     if collect:
         return pred, embeds
     return pred
+
+
+def init_critic_params(key: jax.Array, dims=(8, 8, 8, 16), bottleneck: int = 32,
+                       channels: int = 3) -> Params:
+    """Fresh critic parameters (torch-default uniform init) for training
+    framework-native critics (the reference only ships pretrained ones)."""
+    import numpy as _np
+
+    def uniform(k, shape, fan_in):
+        bound = 1.0 / _np.sqrt(fan_in)
+        return jax.random.uniform(k, shape, jnp.float32, -bound, bound)
+
+    keys = jax.random.split(key, 14)
+    params: Params = {}
+    cin = channels
+    for i, cout in enumerate(dims):
+        params[f"conv{i}_w"] = uniform(keys[2 * i], (3, 3, cin, cout), cin * 9)
+        params[f"conv{i}_b"] = uniform(keys[2 * i + 1], (cout,), cin * 9)
+        cin = cout
+    params["conv4_w"] = uniform(keys[8], (4, 4, dims[3], bottleneck), dims[3] * 16)
+    params["conv4_b"] = uniform(keys[9], (bottleneck,), dims[3] * 16)
+    params["fc0_w"] = uniform(keys[10], (bottleneck, bottleneck), bottleneck)
+    params["fc0_b"] = uniform(keys[11], (bottleneck,), bottleneck)
+    params["fc1_w"] = uniform(keys[12], (bottleneck, 1), bottleneck)
+    params["fc1_b"] = uniform(keys[13], (1,), bottleneck)
+    return params
 
 
 def critic_params_from_torch(state_dict: Dict[str, np.ndarray]) -> Params:
@@ -112,11 +167,25 @@ def critic_params_from_torch(state_dict: Dict[str, np.ndarray]) -> Params:
 
 
 def load_critic(path: str) -> Params:
-    """Load a pretrained critic ``.pt`` into a JAX pytree (no torch).
+    """Load a critic checkpoint into a JAX pytree.
 
-    TPU-native replacement for the reference's ``load_critic``
-    (vae_utility.py:363-370).
+    Accepts both the reference's torch ``.pt`` format (pure-Python reader,
+    no torch — TPU-native replacement for vae_utility.py:363-370) and this
+    framework's native ``.npz`` pytree format (critics trained with
+    train/critic.py and saved via ``save_critic``).
     """
+    if path.endswith(".npz"):
+        import numpy as np_
+
+        with np_.load(path) as data:
+            return {k: jnp.asarray(v) for k, v in data.items()}
     from critic_vae_tpu.io.legacy_pt import load_torch_pt
 
     return critic_params_from_torch(load_torch_pt(path))
+
+
+def save_critic(path: str, params: Params) -> None:
+    """Save a framework-native critic as ``.npz`` (flat key → array)."""
+    import numpy as np_
+
+    np_.savez(path, **{k: np_.asarray(v) for k, v in params.items()})
