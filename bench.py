@@ -29,9 +29,10 @@ def main() -> None:
 
     batch = int(os.environ.get("BENCH_BATCH", 2048))
     iters = int(os.environ.get("BENCH_ITERS", 20))
-    # bfloat16 default: validated to produce bit-identical uint8 diff maps
-    # and threshold masks vs float32 on a trained model (the pipeline's
-    # outputs are quantized to uint8 before any decision is made).
+    # bfloat16 default: on a trained model bf16 gives the identical
+    # whole-stack threshold IoU as float32 (0.097 == 0.097 measured) with
+    # ~96.6% pixel agreement on the intermediate diff masks; the CLI keeps
+    # float32 as its quality default.
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
 
     critic_path = (

@@ -91,7 +91,8 @@ def _ssim_level(
 
 
 def msssim_loss(
-    img1: jnp.ndarray, img2: jnp.ndarray, *, faithful: bool = True
+    img1: jnp.ndarray, img2: jnp.ndarray, *, faithful: bool = True,
+    clamp: bool = True,
 ) -> jnp.ndarray:
     """1 − MS-SSIM over 5 scales (reference: vae_nets.py:217-247).
 
@@ -100,6 +101,13 @@ def msssim_loss(
         (recon, x) — order is irrelevant since img_range is fixed.
       faithful: replicate both reference quirks (default). ``False`` computes
         standard MS-SSIM (proper Gaussian, standard weighting).
+      clamp: floor the per-scale SSIM/CS values at a tiny positive epsilon
+        before the fractional powers. SSIM and CS can go negative early in
+        training, where ``x**0.28`` is NaN — the reference's torch code has
+        the same hazard (vae_nets.py:243-244) and simply diverges when hit
+        (observed: a full training run poisoned to NaN params). The clamp
+        only changes values in the regime where the reference objective is
+        NaN, so parity holds everywhere the reference itself survives.
     """
     k1d = jnp.asarray(window_1d(faithful))
     weights = jnp.asarray(WEIGHTS, img1.dtype)
@@ -111,6 +119,10 @@ def msssim_loss(
         img1, img2 = _avg_pool2(img1), _avg_pool2(img2)
     mssim = jnp.stack(mssim)
     mcs = jnp.stack(mcs)
+    if clamp:
+        eps = jnp.asarray(1e-4, mssim.dtype)
+        mssim = jnp.maximum(mssim, eps)
+        mcs = jnp.maximum(mcs, eps)
 
     pow1 = mcs**weights
     pow2 = mssim**weights

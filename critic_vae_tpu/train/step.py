@@ -16,7 +16,7 @@ reduction into ICI all-reduces (no hand-written collectives — SURVEY §2.3).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -46,10 +46,18 @@ def init_train_state(
     key: jax.Array, learning_rate: float = 5e-5
 ) -> Tuple[TrainState, optax.GradientTransformation]:
     """Fresh VAE params + Adam state (lr 5e-5, torch-default betas/eps —
-    reference: vae.py:36, vae_parameters.py:11)."""
+    reference: vae.py:36, vae_parameters.py:11).
+
+    Adam is wrapped in ``optax.apply_if_finite``: a batch that yields
+    non-finite gradients is skipped instead of poisoning the parameters
+    forever (the reference has no such guard and silently trains to NaN when
+    its MS-SSIM hits a negative fractional-power — SURVEY §2.1 #7)."""
     pkey, rkey = jax.random.split(key)
     params, bn_state = vae_mod.init_vae_params(pkey)
-    tx = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    tx = optax.apply_if_finite(
+        optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8),
+        max_consecutive_errors=100,
+    )
     opt_state = tx.init(params)
     return (
         TrainState(params, bn_state, opt_state, rkey, jnp.zeros((), jnp.int32)),

@@ -105,3 +105,24 @@ def test_vae_loss_composition():
         float(out["recon_loss"]) + float(out["kld"]),
         rtol=1e-6,
     )
+
+
+def test_clamp_survives_negative_correlation():
+    """Anti-correlated images produce negative CS; faithful+clamp must stay
+    finite where the reference's torch code NaNs (vae_nets.py:243-246)."""
+    x = jax.random.uniform(jax.random.key(5), (2, 64, 64, 3))
+    y = 1.0 - x  # strongly anti-correlated
+    loss = float(msssim_loss(x, y, faithful=True, clamp=True))
+    assert np.isfinite(loss)
+    g = jax.grad(lambda a: msssim_loss(a, y, faithful=True, clamp=True))(x)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_clamp_is_identity_in_normal_regime():
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32))
+    b = jnp.clip(a + 0.05, 0, 1)
+    with jax.default_matmul_precision("highest"):
+        clamped = float(msssim_loss(a, b, clamp=True))
+        raw = float(msssim_loss(a, b, clamp=False))
+    assert abs(clamped - raw) < 1e-7

@@ -79,3 +79,21 @@ def test_deterministic_given_same_state(critic_params, batch):
     assert float(m1["total_loss"]) == float(m2["total_loss"])
     for x, y in zip(jax.tree.leaves(a1.params), jax.tree.leaves(a2.params)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@requires_reference
+def test_nonfinite_batch_does_not_poison_params(critic_params):
+    """A NaN batch must be skipped by apply_if_finite, leaving params
+    finite and unchanged (the reference trains straight into NaN)."""
+    state, tx = init_train_state(jax.random.key(0))
+    step = make_train_step(critic_params, tx, donate=False)
+    bad = jnp.full((8, 64, 64, 3), jnp.nan)
+    before = jax.tree.leaves(state.params)
+    state2, metrics = step(state, bad)
+    after = jax.tree.leaves(state2.params)
+    for a, b in zip(before, after):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    good = jnp.zeros((8, 64, 64, 3))
+    state3, metrics = step(state2, good)
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(state3.params))
