@@ -56,13 +56,26 @@ class EpisodeResult:
 def episode_device_stage(
     vae_params, bn_state, critic_params, frames_f32: np.ndarray,
     batch_size: int = 512, *, with_recons: bool = True,
-    compute_dtype: str = "float32",
+    compute_dtype: str = "float32", mesh=None,
 ) -> Dict[str, np.ndarray]:
     """Run the fused per-frame stage over the episode in padded chunks.
 
     Chunks are padded to a fixed batch so jit compiles exactly once
-    (SURVEY §7: static shapes). Returns host arrays.
+    (SURVEY §7: static shapes). With a ``mesh``, each chunk is sharded along
+    the data axis and the same jitted program scales over every chip — the
+    north star's streaming-video layout (frames sharded, params replicated,
+    no collectives needed since the per-frame stage is embarrassingly data
+    parallel). Returns host arrays.
     """
+    from critic_vae_tpu.parallel.mesh import replicate, shard_batch
+
+    if mesh is not None:
+        vae_params = replicate(mesh, vae_params)
+        bn_state = replicate(mesh, bn_state)
+        critic_params = replicate(mesh, critic_params)
+        batch_size = max(batch_size, mesh.devices.size)
+        batch_size += (-batch_size) % mesh.devices.size
+
     n = len(frames_f32)
     keys = ("preds", "diff", "max_value") + (
         ("recon_one", "recon_zero") if with_recons else ()
@@ -74,8 +87,11 @@ def episode_device_stage(
         if valid < batch_size:
             pad = np.repeat(chunk[-1:], batch_size - valid, axis=0)
             chunk = np.concatenate([chunk, pad], axis=0)
+        dev_chunk = (
+            shard_batch(mesh, chunk) if mesh is not None else jnp.asarray(chunk)
+        )
         res = episode_forward(
-            vae_params, bn_state, critic_params, jnp.asarray(chunk),
+            vae_params, bn_state, critic_params, dev_chunk,
             with_recons=with_recons, compute_dtype=compute_dtype,
         )
         host = jax.device_get({k: res[k] for k in keys})

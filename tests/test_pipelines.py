@@ -145,3 +145,29 @@ def test_gif_writer(tmp_path, critic_params, synthetic_episode, vae):
 
     gif = Image.open(out)
     assert gif.is_animated and gif.n_frames == 6
+
+
+@requires_reference
+def test_episode_stage_sharded_equals_single(critic_params, vae):
+    """The mesh-sharded video device stage must match the single-device run
+    (embarrassingly data-parallel — frames sharded, params replicated)."""
+    import jax as _jax
+
+    from critic_vae_tpu.parallel.mesh import make_mesh
+    from critic_vae_tpu.pipelines.video import episode_device_stage
+
+    assert _jax.device_count() >= 8
+    params, state = vae
+    rng = np.random.default_rng(5)
+    frames = rng.random((24, 64, 64, 3)).astype(np.float32)
+    mesh = make_mesh(8)
+    with _jax.default_matmul_precision("highest"):
+        single = episode_device_stage(
+            params, state, critic_params, frames, batch_size=24, with_recons=False
+        )
+        sharded = episode_device_stage(
+            params, state, critic_params, frames, batch_size=24,
+            with_recons=False, mesh=mesh,
+        )
+    for k in ("preds", "diff", "max_value"):
+        np.testing.assert_allclose(single[k], sharded[k], atol=1e-5, err_msg=k)

@@ -184,3 +184,41 @@ def test_crf_called_like_reference(reference_modules, episode):
 
     ours = refine_masks(frames, thr_masks)
     assert (ref == ours).mean() > 0.999
+
+
+def test_image_eval_parity(reference_modules, shared_weights, source_images):
+    """Our batched evaluate_images vs the reference's per-image eval loop
+    (vae.py:80-106: get_diff_image per image, then the two-pass mean-max
+    normalization over the whole image set)."""
+    import statistics
+
+    import jax
+    import torch
+
+    _vae_nets, vae_utility = reference_modules
+    tvae, tcritic, params, bn_state, critic_params = shared_weights
+    images = source_images[:16]
+
+    imgs, maxima, preds = [], [], []
+    with torch.no_grad():
+        for im in images:
+            t = torch.from_numpy(im.transpose(2, 0, 1)[None])
+            pred = tcritic.evaluate(t)
+            _ro, _rz, diff, mx = vae_utility.get_diff_image(tvae, t, pred[0])
+            imgs.append(diff)
+            maxima.append(mx)
+            preds.append(float(pred[0]))
+    mean_max = statistics.mean(maxima)
+    factor = 1 / mean_max if mean_max != 0 else 0
+    ref_u8 = np.stack(
+        [(vae_utility.prepare_diff(d, factor, mean_max) * 255).astype(np.uint8)
+         for d in imgs]
+    )
+
+    from critic_vae_tpu.pipelines.evaluate import evaluate_images
+
+    with jax.default_matmul_precision("highest"):
+        ours = evaluate_images(params, bn_state, critic_params, images)
+    np.testing.assert_allclose(ours["preds"], preds, atol=1e-4)
+    agree = (np.abs(ours["diff_u8"].astype(int) - ref_u8.astype(int)) <= 1).mean()
+    assert agree > 0.999, agree
