@@ -268,9 +268,24 @@ struct PairwiseKernel {
   }
 };
 
+// Build the spatial (x/γ, y/γ) Potts kernel; identical for every frame of a
+// given (H, W, γ, w2), so batch callers build it once and share it
+// (lattice compute() is const and allocates per-call scratch — thread-safe).
+void build_spatial_kernel(PairwiseKernel& k, int H, int W, float gamma, float w2) {
+  const int N = H * W;
+  std::vector<float> feat((size_t)N * 2);
+  for (int y = 0; y < H; y++)
+    for (int x = 0; x < W; x++) {
+      feat[(size_t)(y * W + x) * 2 + 0] = x / gamma;
+      feat[(size_t)(y * W + x) * 2 + 1] = y / gamma;
+    }
+  k.init(feat.data(), 2, N, w2);
+}
+
 void mean_field(const uint8_t* img, const float* prob, int H, int W, int L,
                 float w1, float alpha, float beta, float w2, float gamma,
-                int iters, uint8_t* out_seg) {
+                int iters, uint8_t* out_seg,
+                const PairwiseKernel* shared_spatial = nullptr) {
   const int N = H * W;
 
   // Unary: -log(prob), clamped.
@@ -281,8 +296,9 @@ void mean_field(const uint8_t* img, const float* prob, int H, int W, int L,
     unary[i] = -std::log(p);
   }
 
-  // Feature builds.
-  std::vector<float> feat_bilateral((size_t)N * 5), feat_spatial((size_t)N * 2);
+  // Feature builds (bilateral depends on this frame's colors; spatial may
+  // be shared across a batch).
+  std::vector<float> feat_bilateral((size_t)N * 5);
   for (int y = 0; y < H; y++)
     for (int x = 0; x < W; x++) {
       int i = y * W + x;
@@ -291,13 +307,17 @@ void mean_field(const uint8_t* img, const float* prob, int H, int W, int L,
       feat_bilateral[(size_t)i * 5 + 2] = img[(size_t)i * 3 + 0] / beta;
       feat_bilateral[(size_t)i * 5 + 3] = img[(size_t)i * 3 + 1] / beta;
       feat_bilateral[(size_t)i * 5 + 4] = img[(size_t)i * 3 + 2] / beta;
-      feat_spatial[(size_t)i * 2 + 0] = x / gamma;
-      feat_spatial[(size_t)i * 2 + 1] = y / gamma;
     }
 
-  PairwiseKernel bilateral, spatial;
+  PairwiseKernel bilateral;
   bilateral.init(feat_bilateral.data(), 5, N, w1);
-  spatial.init(feat_spatial.data(), 2, N, w2);
+  PairwiseKernel local_spatial;
+  const PairwiseKernel* spatial_ptr = shared_spatial;
+  if (spatial_ptr == nullptr) {
+    build_spatial_kernel(local_spatial, H, W, gamma, w2);
+    spatial_ptr = &local_spatial;
+  }
+  const PairwiseKernel& spatial = *spatial_ptr;
 
   // Q init = softmax(-unary) == normalized prob.
   std::vector<float> Q((size_t)N * L), next((size_t)N * L);
@@ -353,6 +373,8 @@ void densecrf_batch(const uint8_t* imgs, const float* probs, int N_frames,
                     int H, int W, int L, float w1, float alpha, float beta,
                     float w2, float gamma, int iters, uint8_t* out_segs,
                     int num_threads) {
+  PairwiseKernel spatial;  // identical for every frame — build once
+  build_spatial_kernel(spatial, H, W, gamma, w2);
 #ifdef _OPENMP
   if (num_threads > 0) omp_set_num_threads(num_threads);
 #pragma omp parallel for schedule(dynamic)
@@ -360,7 +382,7 @@ void densecrf_batch(const uint8_t* imgs, const float* probs, int N_frames,
   for (int n = 0; n < N_frames; n++) {
     mean_field(imgs + (size_t)n * H * W * 3, probs + (size_t)n * H * W * L, H,
                W, L, w1, alpha, beta, w2, gamma, iters,
-               out_segs + (size_t)n * H * W);
+               out_segs + (size_t)n * H * W, &spatial);
   }
 }
 
