@@ -112,6 +112,36 @@ class EventWriter:
         """Log one scalar (reference: logger.py:9-11 scalar_summary)."""
         self._write(_encode_event(time.time(), step, tag, float(value)))
 
+    def histogram(self, tag: str, values, step: int, bins: int = 30) -> None:
+        """Log a histogram (the reference's histo_summary is broken —
+        logger.py:13-15 passes kwargs add_histogram doesn't accept; this one
+        works)."""
+        import numpy as np
+
+        v = np.asarray(values, np.float64).ravel()
+        if v.size == 0:
+            return
+        counts, edges = np.histogram(v, bins=bins)
+        # HistogramProto: 1=min 2=max 3=num 4=sum 5=sum_squares
+        #                 6=bucket_limit (packed double) 7=bucket (packed double)
+        h = _field(1, 1) + struct.pack("<d", float(v.min()))
+        h += _field(2, 1) + struct.pack("<d", float(v.max()))
+        h += _field(3, 1) + struct.pack("<d", float(v.size))
+        h += _field(4, 1) + struct.pack("<d", float(v.sum()))
+        h += _field(5, 1) + struct.pack("<d", float((v * v).sum()))
+        limits = b"".join(struct.pack("<d", float(e)) for e in edges[1:])
+        h += _field(6, 2) + _varint(len(limits)) + limits
+        buckets = b"".join(struct.pack("<d", float(c)) for c in counts)
+        h += _field(7, 2) + _varint(len(buckets)) + buckets
+        # Summary.Value: 1=tag 5=histo
+        val = _bytes_field(1, tag.encode()) + _bytes_field(5, h)
+        ev = (
+            _field(1, 1) + struct.pack("<d", time.time())
+            + _field(2, 0) + _varint(step & 0xFFFFFFFFFFFFFFFF)
+            + _bytes_field(5, _bytes_field(1, val))
+        )
+        self._write(ev)
+
     def close(self) -> None:
         with self._lock:
             self._f.close()

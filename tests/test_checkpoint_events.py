@@ -100,3 +100,29 @@ def test_metric_logger_jsonl(tmp_path):
     lines = open(os.path.join(d, "metrics.jsonl")).read().splitlines()
     rec = json.loads(lines[0])
     assert rec["step"] == 7 and rec["total_loss"] == 1.25
+
+
+def test_histogram_readable_by_tensorboard(tmp_path):
+    tb = pytest.importorskip("tensorboard.backend.event_processing.event_file_loader")
+    d = str(tmp_path / "hlogs")
+    rng = np.random.default_rng(0)
+    vals = rng.normal(size=1000)
+    with EventWriter(d) as w:
+        w.histogram("weights", vals, step=5)
+        path = w.path
+    from tensorboard.util import tensor_util
+
+    events = list(tb.EventFileLoader(path).Load())
+    # the loader migrates old-style histos to (bins, 3) [left, right, count]
+    histos = [
+        (e.step, v.tag, tensor_util.make_ndarray(v.tensor))
+        for e in events
+        for v in (e.summary.value if e.summary else [])
+        if v.WhichOneof("value") == "tensor"
+    ]
+    assert len(histos) == 1
+    step, tag, h = histos[0]
+    assert step == 5 and tag == "weights"
+    assert h.shape == (30, 3)
+    assert h[:, 2].sum() == 1000  # total count
+    assert h[0, 0] <= vals.min() + 1e-5  # f32 edge vs f64 min rounding
