@@ -73,6 +73,7 @@ def _step_logic(
     kld_weight: float,
     faithful_msssim: bool,
     compute_dtype,
+    remat: bool = False,
 ):
     """One optimization step (pure; shared by the per-call and scan drivers)."""
     rng, sample_key = jax.random.split(state.rng)
@@ -83,9 +84,17 @@ def _step_logic(
     # program (reference recomputes them per batch too — vae.py:50).
     preds = jax.lax.stop_gradient(critic_mod.critic_apply(critic_params, x))
 
+    # Optional rematerialization: recompute the forward activations during
+    # the backward pass instead of keeping them in HBM — trades ~1.4x FLOPs
+    # for peak-memory headroom at large batch sizes.
+    def fwd(params, bn, key, xx, vv):
+        return vae_mod.vae_apply(params, bn, key, xx, vv, train=True)
+
+    apply_fn = jax.checkpoint(fwd) if remat else fwd
+
     def loss_fn(params):
-        recon, mu, logvar, new_bn = vae_mod.vae_apply(
-            params, state.bn_state, sample_key, x, preds, train=True
+        recon, mu, logvar, new_bn = apply_fn(
+            params, state.bn_state, sample_key, x, preds
         )
         losses = vae_loss(
             x.astype(jnp.float32),
@@ -112,6 +121,7 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     compute_dtype: jnp.dtype = jnp.float32,
     donate: bool = True,
+    remat: bool = False,
 ):
     """Build the jitted train step.
 
@@ -122,7 +132,8 @@ def make_train_step(
 
     def step(state: TrainState, batch: jnp.ndarray):
         return _step_logic(
-            state, batch, critic_params, tx, kld_weight, faithful_msssim, compute_dtype
+            state, batch, critic_params, tx, kld_weight, faithful_msssim,
+            compute_dtype, remat,
         )
 
     if mesh is not None:
@@ -147,6 +158,7 @@ def make_multi_step(
     mesh: Optional[Mesh] = None,
     compute_dtype: jnp.dtype = jnp.float32,
     donate: bool = True,
+    remat: bool = False,
 ):
     """Build the scan-based multi-step driver for HBM-resident datasets.
 
@@ -167,7 +179,8 @@ def make_multi_step(
         def body(st, batch_idx):
             batch = jnp.take(dataset, batch_idx, axis=0)
             return _step_logic(
-                st, batch, critic_params, tx, kld_weight, faithful_msssim, compute_dtype
+                st, batch, critic_params, tx, kld_weight, faithful_msssim,
+                compute_dtype, remat,
             )
 
         return jax.lax.scan(body, state, idx)

@@ -171,3 +171,26 @@ def test_episode_stage_sharded_equals_single(critic_params, vae):
         )
     for k in ("preds", "diff", "max_value"):
         np.testing.assert_allclose(single[k], sharded[k], atol=1e-5, err_msg=k)
+
+
+@requires_reference
+def test_log_cadence_matches_reference(tmp_path, critic_params):
+    """Metrics land at the reference's steps: batch_i + num_samples*ep every
+    log_every batches (vae.py:60-64)."""
+    import json
+
+    from critic_vae_tpu.pipelines.train import train
+
+    rng = np.random.default_rng(0)
+    dset = rng.random((96, 64, 64, 3)).astype(np.float32)  # 6 batches of 16
+    log_dir = str(tmp_path / "logs")
+    train(
+        critic_params, dset, epochs=2, batch_size=16, log_dir=log_dir,
+        log_every_batches=2, checkpoint_dir=None, resume=False, progress=False,
+    )
+    steps = [
+        json.loads(line)["step"]
+        for line in open(os.path.join(log_dir, "metrics.jsonl"))
+    ]
+    # rows 0,2,4 of each epoch at step row*16 + 96*ep
+    assert steps == [0, 32, 64, 96, 128, 160]

@@ -66,3 +66,40 @@ def test_config_defaults_match_reference():
     assert cfg.mask.bin_collect_per_trajectory == 150
     resolved = cfg.paths.resolve("images")
     assert str(resolved).endswith("images")
+
+
+def test_minerl_source_with_mocked_package(monkeypatch):
+    """The minerl stream (reference: vae_utility.py:393-415) without the
+    actual Java stack: mock minerl.data.make and verify seed-0 shuffle,
+    normalization, and the generator interface."""
+    import sys
+    import types
+
+    rng = np.random.default_rng(7)
+
+    class FakeData:
+        def get_trajectory_names(self):
+            return [f"traj-{i}" for i in range(5)]
+
+        def load_data(self, name, skip_interval=0, include_metadata=False):
+            n = 4 + int(name.split("-")[1])
+            for i in range(n):
+                obs = {"pov": rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)}
+                yield obs, None, None, None, None
+
+    fake = types.ModuleType("minerl")
+    fake.data = types.SimpleNamespace(make=lambda env, num_workers: FakeData())
+    monkeypatch.setitem(sys.modules, "minerl", fake)
+
+    from critic_vae_tpu.data.sources import minerl_trajectories
+
+    trajs = list(minerl_trajectories("/fake/root"))
+    assert len(trajs) == 5
+    names = [n for n, _ in trajs]
+    # seed-0 shuffle of the names (reference: vae_utility.py:401-403)
+    expected = [f"traj-{i}" for i in range(5)]
+    np.random.default_rng(seed=0).shuffle(expected)
+    assert names == expected
+    for name, frames in trajs:
+        assert frames.dtype == np.float32 and frames.max() <= 1.0
+        assert frames.shape[1:] == (64, 64, 3)

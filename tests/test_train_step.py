@@ -97,3 +97,20 @@ def test_nonfinite_batch_does_not_poison_params(critic_params):
     state3, metrics = step(state2, good)
     assert np.isfinite(float(metrics["total_loss"]))
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(state3.params))
+
+
+@requires_reference
+def test_remat_step_matches_plain(critic_params, batch):
+    """jax.checkpoint rematerialization must not change the math."""
+    s0, tx = init_train_state(jax.random.key(0))
+    plain = make_train_step(critic_params, tx, donate=False)
+    remat = make_train_step(critic_params, tx, donate=False, remat=True)
+    b = jnp.asarray(batch)
+    with jax.default_matmul_precision("highest"):
+        a1, m1 = plain(jax.tree.map(jnp.copy, s0), b)
+        a2, m2 = remat(jax.tree.map(jnp.copy, s0), b)
+    np.testing.assert_allclose(
+        float(m1["total_loss"]), float(m2["total_loss"]), rtol=1e-6
+    )
+    for x, y in zip(jax.tree.leaves(a1.params), jax.tree.leaves(a2.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
