@@ -27,8 +27,8 @@ def main() -> None:
     from critic_vae_tpu.models.vae import init_vae_params
     from critic_vae_tpu.ops.mask import episode_forward, normalize_diffs, threshold_masks
 
-    batch = int(os.environ.get("BENCH_BATCH", 2048))
-    iters = int(os.environ.get("BENCH_ITERS", 20))
+    batch = int(os.environ.get("BENCH_BATCH", 1024))
+    iters = int(os.environ.get("BENCH_ITERS", 40))
     # bfloat16 default: on a trained model bf16 gives the identical
     # whole-stack threshold IoU as float32 (0.097 == 0.097 measured) with
     # ~96.6% pixel agreement on the intermediate diff masks; the CLI keeps
@@ -103,4 +103,12 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    # one retry: the tunneled TPU backend occasionally throws a transient
+    # FAILED_PRECONDITION on first contact
+    try:
+        main()
+    except Exception:
+        import time as _time
+
+        _time.sleep(5)
+        main()

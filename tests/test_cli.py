@@ -85,3 +85,17 @@ def test_missing_weights_error_is_loud(workspace, tmp_path):
     with pytest.raises(FileNotFoundError):
         main(["eval", "--root", str(tmp_path), "--critic", critic,
               "--images", os.path.join(workspace, "source-images")])
+
+
+@requires_reference
+def test_traincritic_cli(tmp_path, workspace):
+    """traincritic trains a native critic and eval can consume the .npz."""
+    out = os.path.join(str(tmp_path), "critic.npz")
+    _run(["traincritic", "--root", str(tmp_path), "--synthetic-frames", "256",
+          "--epochs", "2", "--batch-size", "64", "--out", out])
+    assert os.path.exists(out)
+    # the trained .npz loads through the same load path as .pt critics
+    from critic_vae_tpu.models.critic import load_critic
+
+    params = load_critic(out)
+    assert params["conv0_w"].shape == (3, 3, 3, 8)
