@@ -222,3 +222,60 @@ def test_image_eval_parity(reference_modules, shared_weights, source_images):
     np.testing.assert_allclose(ours["preds"], preds, atol=1e-4)
     agree = (np.abs(ours["diff_u8"].astype(int) - ref_u8.astype(int)) <= 1).mean()
     assert agree > 0.999, agree
+
+
+def test_critic_collect_parity(shared_weights, episode):
+    """collect=True feature maps match torch's post-pool activations
+    (critic_net.py:44-57)."""
+    import jax
+    import torch
+
+    tvae, tcritic, params, bn_state, critic_params = shared_weights
+    frames, _ = episode
+    x = frames[:4].astype(np.float32) / 255.0
+    with torch.no_grad():
+        t_pred, t_embeds = tcritic(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), collect=True
+        )
+    from critic_vae_tpu.models.critic import critic_apply
+
+    import jax.numpy as jnp
+
+    with jax.default_matmul_precision("highest"):
+        pred, embeds = critic_apply(critic_params, jnp.asarray(x), collect=True)
+    np.testing.assert_allclose(np.asarray(pred), t_pred.numpy(), atol=1e-5)
+    assert len(embeds) == len(t_embeds)
+    for ours, theirs in zip(embeds, t_embeds):
+        np.testing.assert_allclose(
+            np.asarray(ours).transpose(0, 3, 1, 2), theirs.numpy(), atol=1e-4
+        )
+
+
+def test_bin_info_format_parity(reference_modules, tmp_path):
+    """Our bin_info file matches the reference's save_bin_info_file line for
+    line, apart from the documented divisor fix (actual frame count instead
+    of the hardcoded 1200, vae_utility.py:124)."""
+    _vae_nets, vae_utility = reference_modules
+
+    bin_ious = {0.2: [0.5, 0.7, 0.6], 0.8: [0.9, 0.8]}
+    bin_frames = {0.2: 3, 0.8: 2}
+    bin_gts = {0.2: 120, 0.8: 380}
+
+    import contextlib
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)  # reference writes bin_info_vae1.txt into cwd
+    try:
+        vae_utility.save_bin_info_file(bin_ious, bin_frames, bin_gts)
+    finally:
+        os.chdir(cwd)
+    ref_text = open(tmp_path / "bin_info_vae1.txt").read()
+
+    from critic_vae_tpu.pipelines.video import write_bin_info
+
+    ours_path = tmp_path / "ours.txt"
+    write_bin_info(
+        {"ious": bin_ious, "frames": bin_frames, "gts": bin_gts},
+        str(ours_path), total_frames=1200,  # same divisor → identical text
+    )
+    assert open(ours_path).read() == ref_text
