@@ -71,6 +71,12 @@ def build_parser() -> argparse.ArgumentParser:
         _add_vae_weights(e)
         e.add_argument("--images", default=None, help="source images directory")
         e.add_argument("--out", default=None, help="output directory")
+        if name == "inject":
+            e.add_argument(
+                "--values", default=None,
+                help="comma-separated critic values to inject "
+                "(default: 0,0.2,0.4,0.6,0.8,1 — reference vae_nets.py:31)",
+            )
 
     v = sub.add_parser("video", help="mask-video pipeline (reference: -video [-thresh])")
     _add_common(v)
@@ -204,7 +210,12 @@ def _run_eval(args, second: bool, inject: bool) -> int:
     print(f"evaluating {len(files)} source images...")
     if inject:
         out_dir = args.out or str(cfg.paths.resolve(cfg.paths.inject_path))
-        res = ev.inject_images(vae_params, bn_state, critic_params, images)
+        values = None
+        if getattr(args, "values", None):
+            import numpy as np
+
+            values = np.asarray([float(v) for v in args.values.split(",")], np.float32)
+        res = ev.inject_images(vae_params, bn_state, critic_params, images, values)
         paths = ev.save_inject_strips(res, images, out_dir)
     else:
         out_dir = args.out or str(cfg.paths.resolve(cfg.paths.save_path))

@@ -49,6 +49,13 @@ def test_full_mode_matrix(workspace):
     _run(["inject", *base])
     assert os.path.exists(os.path.join(workspace, "inject/image-000.png"))
 
+    _run(["inject", *base, "--values", "0,0.5,1",
+          "--out", os.path.join(workspace, "inject-custom")])
+    from PIL import Image
+
+    img = Image.open(os.path.join(workspace, "inject-custom/image-000.png"))
+    assert img.size == (64 * 4, 64)  # orig + 3 injected values
+
     _run(["video", *base, "--episode", os.path.join(workspace, "minerl-episode"),
           "--batch-size", "8", "--no-crf", "--no-slice"])
     assert os.path.exists(os.path.join(workspace, "bin_info_vae1.txt"))
