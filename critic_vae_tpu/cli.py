@@ -62,6 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--total-images", type=int, default=50_000)
     t.add_argument("--no-resume", action="store_true")
     t.add_argument("--log-dir", default=None)
+    t.add_argument(
+        "--correct-msssim", action="store_true",
+        help="train with textbook MS-SSIM instead of the reference's quirky "
+        "variant (proper Gaussian window, standard scale weighting) — "
+        "anchors reconstruction luminance much better",
+    )
 
     for name, help_ in (("eval", "evaluate source images (reference default mode)"),
                         ("inject", "injection ladder strips (reference: -inject)"),
@@ -187,6 +193,7 @@ def cmd_train(args) -> int:
         batch_size=args.batch_size,
         learning_rate=args.lr,
         kld_weight=args.kld_weight,
+        faithful_msssim=not args.correct_msssim,
         seed=args.seed,
         log_dir=log_dir,
         checkpoint_dir=str(cfg.paths.resolve("checkpoints")),

@@ -41,6 +41,7 @@ def train(
     batch_size: int = 128,
     learning_rate: float = 5e-5,
     kld_weight: float = 1e-3,
+    faithful_msssim: bool = True,
     seed: int = 0,
     log_every_batches: int = 30,
     log_dir: Optional[str] = None,
@@ -88,7 +89,10 @@ def train(
     else:
         dataset_dev = jnp.asarray(dataset)
 
-    multi_step = make_multi_step(critic_params, tx, kld_weight=kld_weight, mesh=mesh)
+    multi_step = make_multi_step(
+        critic_params, tx, kld_weight=kld_weight,
+        faithful_msssim=faithful_msssim, mesh=mesh,
+    )
 
     logger = MetricLogger(log_dir) if log_dir else None
     shuffle_rng = np.random.default_rng(seed)

@@ -194,3 +194,17 @@ def test_log_cadence_matches_reference(tmp_path, critic_params):
     ]
     # rows 0,2,4 of each epoch at step row*16 + 96*ep
     assert steps == [0, 32, 64, 96, 128, 160]
+
+
+@requires_reference
+def test_train_with_correct_msssim(critic_params):
+    from critic_vae_tpu.pipelines.train import train
+
+    rng = np.random.default_rng(0)
+    dset = rng.random((32, 64, 64, 3)).astype(np.float32)
+    state = train(
+        critic_params, dset, epochs=1, batch_size=16, faithful_msssim=False,
+        checkpoint_dir=None, log_dir=None, resume=False, progress=False,
+    )
+    assert int(state.step) == 2
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(state.params))
