@@ -120,9 +120,17 @@ def msssim_loss(
     mssim = jnp.stack(mssim)
     mcs = jnp.stack(mcs)
     if clamp:
+        # straight-through floor: forward value is max(x, eps) so the
+        # fractional powers stay finite, but the gradient is the identity —
+        # a hard clamp would zero the gradient in the clamped regime and
+        # strand training at loss ≈ 1 with no recovery signal (observed)
         eps = jnp.asarray(1e-4, mssim.dtype)
-        mssim = jnp.maximum(mssim, eps)
-        mcs = jnp.maximum(mcs, eps)
+
+        def st_floor(x):
+            return x + jax.lax.stop_gradient(jnp.maximum(x, eps) - x)
+
+        mssim = st_floor(mssim)
+        mcs = st_floor(mcs)
 
     pow1 = mcs**weights
     pow2 = mssim**weights

@@ -126,3 +126,14 @@ def test_clamp_is_identity_in_normal_regime():
         clamped = float(msssim_loss(a, b, clamp=True))
         raw = float(msssim_loss(a, b, clamp=False))
     assert abs(clamped - raw) < 1e-7
+
+
+def test_clamp_gradient_flows_in_clamped_regime():
+    """The straight-through floor must keep a recovery gradient when
+    SSIM/CS are negative — a hard clamp strands training at loss ≈ 1."""
+    x = jax.random.uniform(jax.random.key(5), (2, 64, 64, 3))
+    y = 1.0 - x  # anti-correlated → negative CS → clamped regime
+    g = jax.grad(lambda a: msssim_loss(a, y, faithful=True, clamp=True))(x)
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 1e-8, "gradient died in the clamped regime"
