@@ -64,16 +64,3 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     """Device-put a pytree fully replicated over the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)
-
-
-def pad_to_multiple(arr: np.ndarray, multiple: int) -> tuple[np.ndarray, int]:
-    """Pad the leading dim up to a multiple (for even sharding); returns
-    (padded, original_length). Padding repeats the last element so padded
-    entries are valid inputs; callers slice results back to the original
-    length."""
-    n = arr.shape[0]
-    rem = (-n) % multiple
-    if rem == 0:
-        return arr, n
-    pad = np.repeat(arr[-1:], rem, axis=0)
-    return np.concatenate([arr, pad], axis=0), n
