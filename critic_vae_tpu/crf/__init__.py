@@ -54,7 +54,14 @@ def _lib() -> ctypes.CDLL:
     global _LIB
     with _LOCK:
         if _LIB is None:
-            lib = ctypes.CDLL(str(_compile()))
+            path = _compile()
+            try:
+                lib = ctypes.CDLL(str(path))
+            except OSError:
+                # a stale cached artifact (e.g. built on another arch in a
+                # shared cache volume) — rebuild from source once
+                path.unlink(missing_ok=True)
+                lib = ctypes.CDLL(str(_compile()))
             u8p = ctypes.POINTER(ctypes.c_uint8)
             f32p = ctypes.POINTER(ctypes.c_float)
             lib.densecrf_single.argtypes = [

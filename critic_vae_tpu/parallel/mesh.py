@@ -39,6 +39,17 @@ def make_mesh(
     """
     devs = list(devices) if devices is not None else jax.devices()
     if num_devices:
+        if len(devs) < num_devices:
+            platform = devs[0].platform if devs else "none"
+            raise ValueError(
+                f"requested a {num_devices}-device mesh but only {len(devs)} "
+                f"device(s) are available (platform={platform!r}). For a "
+                f"virtual mesh on a small host, set XLA_FLAGS="
+                f"--xla_force_host_platform_device_count={num_devices} and "
+                f'force jax.config.update("jax_platforms", "cpu") before any '
+                f"backend use (tests/conftest.py shows the recipe), or pass "
+                f"explicit devices="
+            )
         devs = devs[:num_devices]
     n = len(devs)
     if len(axis_names) == 1:
