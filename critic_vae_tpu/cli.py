@@ -40,7 +40,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     )
 
 
-def _add_vae_weights(p: argparse.ArgumentParser, second: bool = False) -> None:
+def _add_vae_weights(p: argparse.ArgumentParser) -> None:
     p.add_argument("--encoder", default=None, help="encoder checkpoint (.npz)")
     p.add_argument("--decoder", default=None, help="decoder checkpoint (.npz)")
 
@@ -115,6 +115,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--epochs", type=int, default=7)
     s.add_argument("--batch-size", type=int, default=128)
     s.add_argument("--lr", type=float, default=5e-5)
+    s.add_argument(
+        "--correct-msssim", action="store_true",
+        help="train with textbook MS-SSIM instead of the reference's quirky variant",
+    )
 
     tc = sub.add_parser(
         "traincritic",
@@ -268,7 +272,7 @@ def cmd_video(args) -> int:
         print("testing thresholds (thr):")
         with profile_trace(args.profile):
             results = vid.threshold_sweep(
-            vae_params, bn_state, critic_params, frames, gt,
+                vae_params, bn_state, critic_params, frames, gt,
                 cfg.mask.threshold_sweep, run_crf=not args.no_crf,
                 batch_size=args.batch_size, compute_dtype=args.dtype,
             )
@@ -331,6 +335,7 @@ def cmd_second(args) -> int:
     state = train(
         critic_params, recon_dset,
         epochs=args.epochs, batch_size=args.batch_size, learning_rate=args.lr,
+        faithful_msssim=not args.correct_msssim,
         seed=args.seed, log_dir=None, checkpoint_dir=None, resume=False,
     )
     enc = str(cfg.paths.resolve(cfg.paths.second_encoder_path))

@@ -108,9 +108,14 @@ def threshold_masks(diff_u8: jnp.ndarray, thresholds: jnp.ndarray) -> jnp.ndarra
 
     diff_u8 (B, H, W) uint8 × thresholds (T,) → (T, B, H, W) bool.
     The reference recomputes the whole pipeline per threshold
-    (vae.py:121-123); here the sweep is one broadcast compare.
+    (vae.py:121-123); here the sweep is one broadcast compare. The compare
+    runs in int32 so out-of-range thresholds keep the reference's semantics
+    (t > 255 → all False) instead of silently wrapping modulo 256; the cast
+    fuses into the compare, so the HBM read stays uint8.
     """
-    return diff_u8[None] > thresholds[:, None, None, None].astype(jnp.uint8)
+    return diff_u8[None].astype(jnp.int32) > thresholds[:, None, None, None].astype(
+        jnp.int32
+    )
 
 
 def iou_stacked(gt: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:

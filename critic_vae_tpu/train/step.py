@@ -109,6 +109,16 @@ def _step_logic(
     grads, (losses, new_bn) = jax.grad(loss_fn, has_aux=True)(state.params)
     updates, new_opt = tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
+    # Mirror apply_if_finite's skip for the BatchNorm running stats: a batch
+    # with non-finite gradients must not poison bn_state either (it ships in
+    # the final encoder checkpoint). The RNG deliberately still advances so a
+    # skipped batch does not replay identical reparam noise.
+    grads_finite = jnp.all(
+        jnp.asarray([jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)])
+    )
+    new_bn = jax.tree_util.tree_map(
+        lambda n, o: jnp.where(grads_finite, n, o), new_bn, state.bn_state
+    )
     return TrainState(new_params, new_bn, new_opt, rng, state.step + 1), losses
 
 

@@ -62,6 +62,15 @@ def test_threshold_sweep_matches_individual():
         np.testing.assert_array_equal(sweep[i], np.asarray(u8) > t)
 
 
+def test_threshold_out_of_range_is_all_false():
+    """t > 255 must select nothing (reference uint8 semantics), not wrap
+    modulo 256 — t=300 used to become t=44."""
+    rng = np.random.default_rng(2)
+    u8 = jnp.asarray(rng.integers(0, 256, (4, 8, 8), dtype=np.uint8))
+    masks = np.asarray(threshold_masks(u8, jnp.asarray([256, 300, 1000])))
+    assert not masks.any()
+
+
 def test_diff_images_matches_two_separate_decodes():
     """The fused 2B double-decode must equal two independent decodes
     (the reference's two evaluate calls, vae_utility.py:264-265)."""

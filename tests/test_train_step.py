@@ -100,6 +100,24 @@ def test_nonfinite_batch_does_not_poison_params(critic_params):
 
 
 @requires_reference
+def test_nonfinite_batch_does_not_poison_bn_state(critic_params):
+    """BatchNorm running stats are committed outside apply_if_finite's reach;
+    a NaN batch must leave them untouched too (they ship in the final
+    encoder checkpoint)."""
+    state, tx = init_train_state(jax.random.key(0))
+    step = make_train_step(critic_params, tx, donate=False)
+    bad = jnp.full((8, 64, 64, 3), jnp.nan)
+    before = jax.tree.leaves(state.bn_state)
+    state2, _ = step(state, bad)
+    for a, b in zip(before, jax.tree.leaves(state2.bn_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # RNG still advances: a skipped batch must not replay identical noise
+    assert not np.array_equal(
+        jax.random.key_data(state.rng), jax.random.key_data(state2.rng)
+    )
+
+
+@requires_reference
 def test_remat_step_matches_plain(critic_params, batch):
     """jax.checkpoint rematerialization must not change the math."""
     s0, tx = init_train_state(jax.random.key(0))
