@@ -29,6 +29,10 @@ def main() -> None:
 
     batch = int(os.environ.get("BENCH_BATCH", 1024))
     iters = int(os.environ.get("BENCH_ITERS", 40))
+    # BENCH_DEVICES > 1: shard the frame batch over an N-device data-parallel
+    # mesh and report AGGREGATE frames/s (the metric stays per-chip-honest on
+    # the driver's single real chip, where this defaults to 1).
+    ndev = int(os.environ.get("BENCH_DEVICES", "1"))
     # bfloat16 default: on a trained model bf16 gives the identical
     # whole-stack threshold IoU as float32 (0.097 == 0.097 measured) with
     # ~96.6% pixel agreement on the intermediate diff masks; the CLI keeps
@@ -63,6 +67,14 @@ def main() -> None:
 
     frames_u8, _ = generate_frames(batch, seed=0)
     frames = jnp.asarray(frames_u8.astype(np.float32) / 255.0)
+    if ndev > 1:
+        from critic_vae_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+        mesh = make_mesh(ndev)
+        vae_params = replicate(mesh, vae_params)
+        bn_state = replicate(mesh, bn_state)
+        critic_params = replicate(mesh, critic_params)
+        frames = shard_batch(mesh, frames_u8.astype(np.float32) / 255.0)
     thresholds = jnp.asarray(list(range(0, 130, 10)))
 
     @jax.jit
@@ -93,7 +105,9 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "video_pipeline_frames_per_sec_per_chip",
+                "metric": "video_pipeline_frames_per_sec_per_chip"
+                if ndev <= 1
+                else f"video_pipeline_frames_per_sec_{ndev}dev_aggregate",
                 "value": round(fps, 1),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / baseline, 3),

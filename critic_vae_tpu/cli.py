@@ -101,6 +101,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--dtype", default="float32", choices=["float32", "bfloat16"],
         help="device compute dtype for the mask pipeline (bfloat16 ≈ 1.7× faster)",
     )
+    v.add_argument(
+        "--num-devices", type=int, default=None, metavar="N",
+        help="shard the device stage over an N-chip data-parallel mesh "
+        "(0 = all available devices; default: single device)",
+    )
 
     d = sub.add_parser("dataset", help="build recon dataset (reference: -dataset)")
     _add_common(d)
@@ -268,6 +273,13 @@ def cmd_video(args) -> int:
 
     from critic_vae_tpu.utils.profiling import profile_trace
 
+    mesh = None
+    if args.num_devices is not None:
+        from critic_vae_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.num_devices)
+        print(f"sharding the device stage over {mesh.devices.size} device(s)")
+
     if args.sweep:
         print("testing thresholds (thr):")
         with profile_trace(args.profile):
@@ -275,6 +287,7 @@ def cmd_video(args) -> int:
                 vae_params, bn_state, critic_params, frames, gt,
                 cfg.mask.threshold_sweep, run_crf=not args.no_crf,
                 batch_size=args.batch_size, compute_dtype=args.dtype,
+                mesh=mesh,
             )
         for r in results:
             print(f"thr={r['threshold']}, thr_iou={r['thr_iou']}, crf_iou={r['crf_iou']}")
@@ -285,6 +298,7 @@ def cmd_video(args) -> int:
             vae_params, bn_state, critic_params, frames, gt,
             threshold=args.threshold, run_crf=not args.no_crf,
             batch_size=args.batch_size, compute_dtype=args.dtype,
+            mesh=mesh,
         )
     print(f"thr_iou={result.thr_iou}")
     print(f"crf_iou={result.crf_iou}")

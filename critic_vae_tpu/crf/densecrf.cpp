@@ -12,6 +12,21 @@
 // lattice directions → slice) — written fresh for this framework, not
 // copied from any existing CRF codebase.
 //
+// Performance notes (every transformation below preserves float arithmetic
+// order, so segmentations are bit-identical to the straightforward form):
+//   * hash slots pack a 32-bit key fingerprint next to the index, so probe
+//     chains resolve in one cache line and memcmp runs only on fingerprint
+//     hits;
+//   * the blur adjacency is symmetric (hi(lo(m)) == m), so only the `lo`
+//     neighbor is looked up in the table and `hi` is derived by inversion —
+//     halving the init-phase hash traffic;
+//   * filter inner loops are compile-time specialized for the value sizes
+//     this pipeline uses (vs = 1 for kernel norms, vs = 2 for binary masks);
+//   * per-call lattice scratch is thread_local and reused across the 2
+//     kernels × iters filter calls per frame (the shared spatial kernel is
+//     filtered concurrently by the batch threads, so scratch must be
+//     per-thread, not per-lattice).
+//
 // Exported C API (ctypes-friendly):
 //   densecrf_single : one (H,W,3) uint8 image + (H,W,L) float prob
 //   densecrf_batch  : N frames, OpenMP-parallel across frames
@@ -30,7 +45,9 @@
 namespace {
 
 // ---------------------------------------------------------------------------
-// Hash table for lattice keys (open addressing, power-of-two capacity).
+// Hash table for lattice keys (open addressing, power-of-two capacity,
+// fingerprint-packed slots: high 32 bits key fingerprint, low 32 bits
+// index+1; 0 = empty).
 // ---------------------------------------------------------------------------
 class KeyTable {
  public:
@@ -38,37 +55,44 @@ class KeyTable {
       : key_size_(key_size), filled_(0) {
     capacity_ = 1;
     while (capacity_ < expected * 2) capacity_ <<= 1;
-    slots_.assign(capacity_, -1);
+    slots_.assign(capacity_, 0);
     keys_.reserve(expected * key_size_);
   }
 
   int size() const { return filled_; }
   const short* key(int i) const { return keys_.data() + (size_t)i * key_size_; }
 
-  // Returns the index of `key`, inserting if absent; -1 only on overflow.
+  // Returns the index of `key`, inserting if absent; -1 when absent and
+  // !create. Slot layout: high 32 bits fingerprint, low 32 bits index+1
+  // (so an occupied slot is always nonzero).
   int find_or_insert(const short* key, bool create) {
-    size_t h = hash(key) & (capacity_ - 1);
+    const uint64_t h = hash(key);
+    const uint32_t fp = (uint32_t)(h >> 32);
+    size_t pos = h & (capacity_ - 1);
     for (;;) {
-      int slot = slots_[h];
-      if (slot == -1) {
+      uint64_t slot = slots_[pos];
+      if (slot == 0) {
         if (!create) return -1;
         keys_.insert(keys_.end(), key, key + key_size_);
-        slots_[h] = filled_;
+        slots_[pos] = ((uint64_t)fp << 32) | (uint32_t)(filled_ + 1);
         return filled_++;
       }
-      if (std::memcmp(keys_.data() + (size_t)slot * key_size_, key,
-                      key_size_ * sizeof(short)) == 0)
-        return slot;
-      h = (h + 1) & (capacity_ - 1);
+      if ((uint32_t)(slot >> 32) == fp) {
+        int idx = (int)(uint32_t)slot - 1;
+        if (std::memcmp(keys_.data() + (size_t)idx * key_size_, key,
+                        key_size_ * sizeof(short)) == 0)
+          return idx;
+      }
+      pos = (pos + 1) & (capacity_ - 1);
     }
   }
 
  private:
-  size_t hash(const short* key) const {
-    size_t r = 0;
+  uint64_t hash(const short* key) const {
+    uint64_t r = 14695981039346656037ull;
     for (int i = 0; i < key_size_; i++) {
-      r += (size_t)(unsigned short)key[i];
-      r *= 1664525u;
+      r ^= (uint64_t)(unsigned short)key[i];
+      r *= 1099511628211ull;
     }
     return r;
   }
@@ -76,7 +100,7 @@ class KeyTable {
   int key_size_;
   size_t capacity_;
   int filled_;
-  std::vector<int> slots_;
+  std::vector<uint64_t> slots_;
   std::vector<short> keys_;
 };
 
@@ -166,52 +190,75 @@ class Permutohedral {
 
     M_ = table.size();
 
-    // Blur neighbors along each of the d+1 lattice directions.
+    // Blur neighbors along each of the d+1 lattice directions. The relation
+    // is symmetric — nhi(nlo(m)) == m — so only `lo` is looked up and `hi`
+    // is filled by inversion.
     blur_lo_.assign((size_t)M_ * (d + 1), -1);
     blur_hi_.assign((size_t)M_ * (d + 1), -1);
-    std::vector<short> nlo(d), nhi(d);
+    std::vector<short> nlo(d);
     for (int m = 0; m < M_; m++) {
       const short* k = table.key(m);
       for (int j = 0; j <= d; j++) {
-        for (int i = 0; i < d; i++) {
-          nlo[i] = (short)(k[i] + 1);
-          nhi[i] = (short)(k[i] - 1);
-        }
-        if (j < d) {
-          nlo[j] = (short)(k[j] - d);
-          nhi[j] = (short)(k[j] + d);
-        }
-        blur_lo_[(size_t)j * M_ + m] = table.find_or_insert(nlo.data(), false);
-        blur_hi_[(size_t)j * M_ + m] = table.find_or_insert(nhi.data(), false);
+        for (int i = 0; i < d; i++) nlo[i] = (short)(k[i] + 1);
+        if (j < d) nlo[j] = (short)(k[j] - d);
+        int lo = table.find_or_insert(nlo.data(), false);
+        blur_lo_[(size_t)j * M_ + m] = lo;
+        if (lo >= 0) blur_hi_[(size_t)j * M_ + lo] = m;
       }
     }
   }
 
+  int num_points() const { return N_; }
+  int num_lattice() const { return M_; }
+
   // out = Gaussian-filter(in) over the lattice; in/out are (N, vs) row-major.
   void compute(float* out, const float* in, int vs) const {
-    std::vector<float> vals((size_t)(M_ + 1) * vs, 0.f);  // slot 0 = null
-    std::vector<float> newv((size_t)(M_ + 1) * vs, 0.f);
+    switch (vs) {
+      case 1: return compute_impl<1>(out, in, 1);
+      case 2: return compute_impl<2>(out, in, 2);
+      default: return compute_impl<0>(out, in, vs);
+    }
+  }
+
+ private:
+  // VS = compile-time value size (0 = runtime `vs`). The arithmetic and its
+  // order are identical for every instantiation.
+  template <int VS>
+  void compute_impl(float* out, const float* in, int vs_rt) const {
+    const int vs = VS ? VS : vs_rt;
+    // Thread-local scratch: reused across the 2-kernels × iters calls per
+    // frame, and per-thread because batch threads filter the shared spatial
+    // lattice concurrently.
+    static thread_local std::vector<float> vals, newv;
+    const size_t need = (size_t)(M_ + 1) * vs;  // slot 0 = null
+    if (vals.size() < need) vals.resize(need);
+    if (newv.size() < need) newv.resize(need);
+    std::memset(vals.data(), 0, need * sizeof(float));
+    std::memset(newv.data(), 0, (size_t)vs * sizeof(float));  // null slot only
     float* values = vals.data() + vs;  // index -1 → null slot
     float* new_values = newv.data() + vs;
 
     // Splat.
-    for (int n = 0; n < N_; n++)
+    const int* off = offset_.data();
+    const float* bar = barycentric_.data();
+    for (int n = 0; n < N_; n++) {
+      const float* src = in + (size_t)n * vs;
       for (int r = 0; r <= d_; r++) {
-        int o = offset_[(size_t)n * (d_ + 1) + r];
-        float w = barycentric_[(size_t)n * (d_ + 1) + r];
-        const float* src = in + (size_t)n * vs;
-        float* dst = values + (size_t)o * vs;
+        const size_t nr = (size_t)n * (d_ + 1) + r;
+        float w = bar[nr];
+        float* dst = values + (size_t)off[nr] * vs;
         for (int k = 0; k < vs; k++) dst[k] += w * src[k];
       }
+    }
 
     // Blur along each lattice direction: [0.5, 1, 0.5].
     for (int j = 0; j <= d_; j++) {
+      const int* lo_row = blur_lo_.data() + (size_t)j * M_;
+      const int* hi_row = blur_hi_.data() + (size_t)j * M_;
       for (int m = 0; m < M_; m++) {
-        int lo = blur_lo_[(size_t)j * M_ + m];
-        int hi = blur_hi_[(size_t)j * M_ + m];
         const float* c = values + (size_t)m * vs;
-        const float* l = values + (size_t)lo * vs;  // -1 hits the null slot
-        const float* h = values + (size_t)hi * vs;
+        const float* l = values + (size_t)lo_row[m] * vs;  // -1 → null slot
+        const float* h = values + (size_t)hi_row[m] * vs;
         float* o = new_values + (size_t)m * vs;
         for (int k = 0; k < vs; k++) o[k] = c[k] + 0.5f * (l[k] + h[k]);
       }
@@ -219,20 +266,19 @@ class Permutohedral {
     }
 
     // Slice (with the lattice's fixed gain correction).
-    float alpha = 1.0f / (1.0f + std::pow(2.0f, -(float)d_));
+    const float alpha = 1.0f / (1.0f + std::pow(2.0f, -(float)d_));
     for (int n = 0; n < N_; n++) {
       float* dst = out + (size_t)n * vs;
       for (int k = 0; k < vs; k++) dst[k] = 0.f;
       for (int r = 0; r <= d_; r++) {
-        int o = offset_[(size_t)n * (d_ + 1) + r];
-        float w = barycentric_[(size_t)n * (d_ + 1) + r];
-        const float* src = values + (size_t)o * vs;
+        const size_t nr = (size_t)n * (d_ + 1) + r;
+        float w = bar[nr];
+        const float* src = values + (size_t)off[nr] * vs;
         for (int k = 0; k < vs; k++) dst[k] += alpha * w * src[k];
       }
     }
   }
 
- private:
   int d_ = 0, N_ = 0, M_ = 0;
   std::vector<int> offset_;
   std::vector<float> barycentric_;
@@ -259,18 +305,34 @@ struct PairwiseKernel {
   // next += weight * norm .* filter(norm .* Q), per label column.
   void apply(float* next, const float* Q, int N, int L,
              std::vector<float>& tmp_in, std::vector<float>& tmp_out) const {
-    for (int i = 0; i < N; i++)
-      for (int l = 0; l < L; l++) tmp_in[(size_t)i * L + l] = Q[(size_t)i * L + l] * norm[i];
+    if (L == 2) {
+      for (int i = 0; i < N; i++) {
+        tmp_in[(size_t)i * 2 + 0] = Q[(size_t)i * 2 + 0] * norm[i];
+        tmp_in[(size_t)i * 2 + 1] = Q[(size_t)i * 2 + 1] * norm[i];
+      }
+    } else {
+      for (int i = 0; i < N; i++)
+        for (int l = 0; l < L; l++)
+          tmp_in[(size_t)i * L + l] = Q[(size_t)i * L + l] * norm[i];
+    }
     lattice.compute(tmp_out.data(), tmp_in.data(), L);
-    for (int i = 0; i < N; i++)
-      for (int l = 0; l < L; l++)
-        next[(size_t)i * L + l] += weight * norm[i] * tmp_out[(size_t)i * L + l];
+    if (L == 2) {
+      for (int i = 0; i < N; i++) {
+        const float wn = weight * norm[i];
+        next[(size_t)i * 2 + 0] += wn * tmp_out[(size_t)i * 2 + 0];
+        next[(size_t)i * 2 + 1] += wn * tmp_out[(size_t)i * 2 + 1];
+      }
+    } else {
+      for (int i = 0; i < N; i++)
+        for (int l = 0; l < L; l++)
+          next[(size_t)i * L + l] += weight * norm[i] * tmp_out[(size_t)i * L + l];
+    }
   }
 };
 
 // Build the spatial (x/γ, y/γ) Potts kernel; identical for every frame of a
 // given (H, W, γ, w2), so batch callers build it once and share it
-// (lattice compute() is const and allocates per-call scratch — thread-safe).
+// (lattice compute() is const with thread-local scratch — thread-safe).
 void build_spatial_kernel(PairwiseKernel& k, int H, int W, float gamma, float w2) {
   const int N = H * W;
   std::vector<float> feat((size_t)N * 2);

@@ -78,6 +78,7 @@ def train(
     if resume and checkpoint_dir:
         latest = ckpt_io.latest_checkpoint(checkpoint_dir)
         if latest is not None:
+            _validate_resume_meta(latest[0], num_samples, batch_size, seed)
             state = ckpt_io.restore_train_state(latest[0], state)
             start_step = int(latest[1])
             print(f"resumed from {latest[0]} (step {start_step})")
@@ -96,35 +97,67 @@ def train(
 
     logger = MetricLogger(log_dir) if log_dir else None
     shuffle_rng = np.random.default_rng(seed)
-    start_epoch = start_step // max(steps_per_epoch, 1)
+    start_epoch, start_row = divmod(start_step, max(steps_per_epoch, 1))
     for _ in range(start_epoch):  # keep the shuffle stream deterministic on resume
         shuffle_rng.permutation(num_samples)
+
+    # Dispatch granularity: one lax.scan per epoch when checkpointing is off
+    # (scan compile time is trip-count-independent; per-dispatch host overhead
+    # is ~100 ms through the tunneled backend — measured 53 ms/step at 30-step
+    # chunks vs ~5 ms/step of compute). With checkpointing on, chunk the epoch
+    # at the checkpoint cadence so a crash loses < checkpoint_every_steps
+    # steps, not up to a whole epoch (at most 2 distinct trip counts compile:
+    # the cadence chunk and the epoch tail).
+    dispatch = steps_per_epoch
+    if checkpoint_dir and 0 < checkpoint_every_steps < steps_per_epoch:
+        dispatch = checkpoint_every_steps
 
     t0 = time.time()
     last_metrics = None
     last_ckpt_step = start_step
     try:
-        # One dispatch per epoch: lax.scan's compile time is trip-count-
-        # independent, and per-dispatch host overhead (index upload, python)
-        # is ~100 ms through the tunneled backend — measured 53 ms/step at
-        # 30-step chunks vs ~5 ms/step of actual compute.
         for ep in range(start_epoch, epochs):
             order = shuffle_rng.permutation(num_samples)
             # drop the tail batch like the reference (vae.py:44-46)
             idx_epoch = order[: steps_per_epoch * batch_size].reshape(
                 steps_per_epoch, batch_size
             ).astype(np.int32)
-            state, metrics = multi_step(state, dataset_dev, jnp.asarray(idx_epoch))
-            # one bulk device_get per epoch — per-element device indexing
-            # costs ~40 ms/scalar through a tunneled PJRT backend
-            host = jax.device_get(metrics)
+            host_rows = []
+            row = start_row if ep == start_epoch else 0
+            while row < steps_per_epoch:
+                idx_chunk = idx_epoch[row : row + dispatch]
+                state, metrics = multi_step(
+                    state, dataset_dev, jnp.asarray(idx_chunk)
+                )
+                # one bulk device_get per dispatch — per-element device
+                # indexing costs ~40 ms/scalar through a tunneled PJRT backend
+                host_rows.append(jax.device_get(metrics))
+                row += len(idx_chunk)
+                cur_step = ep * steps_per_epoch + row
+                if (
+                    checkpoint_dir
+                    and cur_step - last_ckpt_step >= checkpoint_every_steps
+                ):
+                    _save_ckpt(
+                        checkpoint_dir, state, keep_checkpoints,
+                        meta={"num_samples": num_samples,
+                              "batch_size": batch_size, "seed": seed},
+                    )
+                    last_ckpt_step = cur_step
+            host = {
+                k: np.concatenate([h[k] for h in host_rows])
+                for k in host_rows[0]
+            }
             last_metrics = {k: float(v[-1]) for k, v in host.items()}
             if logger:
                 # reference cadence: every 30 batches at step
                 # batch_i + num_samples*ep (vae.py:60-64)
+                first_row = start_row if ep == start_epoch else 0
                 for row in range(0, steps_per_epoch, log_every_batches):
+                    if row < first_row:
+                        continue
                     logger.log(
-                        {k: float(v[row]) for k, v in host.items()},
+                        {k: float(v[row - first_row]) for k, v in host.items()},
                         row * batch_size + num_samples * ep,
                     )
             if progress:
@@ -138,13 +171,6 @@ def train(
                     f"{rate:.0f} img/s",
                     end="\r",
                 )
-            cur_step = (ep + 1) * steps_per_epoch
-            if (
-                checkpoint_dir
-                and cur_step - last_ckpt_step >= checkpoint_every_steps
-            ):
-                _save_ckpt(checkpoint_dir, state, keep_checkpoints)
-                last_ckpt_step = cur_step
         if progress and last_metrics is not None:
             print()
     finally:
@@ -152,15 +178,66 @@ def train(
             logger.close()
 
     if checkpoint_dir:
-        _save_ckpt(checkpoint_dir, state, keep_checkpoints)
+        _save_ckpt(
+            checkpoint_dir, state, keep_checkpoints,
+            meta={"num_samples": num_samples, "batch_size": batch_size,
+                  "seed": seed},
+        )
     return state
 
 
-def _save_ckpt(directory: str, state: TrainState, keep: int) -> None:
+def _save_ckpt(
+    directory: str, state: TrainState, keep: int, meta: Optional[dict] = None
+) -> None:
     os.makedirs(directory, exist_ok=True)
     step = int(jax.device_get(state.step))
-    ckpt_io.save_train_state(os.path.join(directory, f"ckpt-{step}.npz"), jax.device_get(state))
+    path = os.path.join(directory, f"ckpt-{step}.npz")
+    ckpt_io.save_train_state(path, jax.device_get(state))
+    if meta is not None:
+        import json
+
+        with open(_meta_path(path), "w") as f:
+            json.dump(meta, f)
     ckpt_io.prune_checkpoints(directory, keep)
+    if keep:  # drop meta sidecars whose checkpoint was pruned
+        for name in os.listdir(directory):
+            if name.endswith(".meta.json") and not os.path.exists(
+                os.path.join(directory, name[: -len(".meta.json")] + ".npz")
+            ):
+                os.unlink(os.path.join(directory, name))
+
+
+def _meta_path(ckpt_path: str) -> str:
+    return ckpt_path[: -len(".npz")] + ".meta.json"
+
+
+def _validate_resume_meta(
+    ckpt_path: str, num_samples: int, batch_size: int, seed: int
+) -> None:
+    """Refuse to resume when the deterministic shuffle replay would misalign.
+
+    The epoch count and shuffle stream are reconstructed from the global step
+    via steps_per_epoch = num_samples // batch_size; resuming with a different
+    dataset size, batch size, or seed silently re-runs or skips data. Loud
+    failure is this framework's stated convention (vs the reference's silent
+    random-weights fallback, vae_utility.py:353-357).
+    """
+    import json
+
+    mpath = _meta_path(ckpt_path)
+    if not os.path.exists(mpath):  # pre-meta checkpoint: nothing to check
+        return
+    with open(mpath) as f:
+        meta = json.load(f)
+    ours = {"num_samples": num_samples, "batch_size": batch_size, "seed": seed}
+    mismatched = {k: (meta[k], ours[k]) for k in ours if meta.get(k) != ours[k]}
+    if mismatched:
+        raise ValueError(
+            f"cannot resume from {ckpt_path}: run configuration changed "
+            f"(checkpoint vs now): {mismatched}. The deterministic shuffle "
+            "replay would misalign — pass resume=False (CLI: --no-resume) or "
+            "restore the original dataset/batch size/seed."
+        )
 
 
 def save_final_weights(state: TrainState, encoder_path: str, decoder_path: str) -> None:

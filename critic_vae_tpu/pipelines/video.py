@@ -113,6 +113,7 @@ def eval_episode(
     batch_size: int = 512,
     num_threads: int = 0,
     compute_dtype: str = "float32",
+    mesh=None,
 ) -> EpisodeResult:
     """Full mask pipeline over an episode (reference: eval_textured_frames).
 
@@ -120,11 +121,14 @@ def eval_episode(
       frames_u8: (N, H, W, 3) uint8 raw frames (the CRF consumes these raw,
         matching vae_utility.py:186).
       gt: (N, H, W) bool ground truth, or None to skip IoU/CRF scoring.
+      mesh: optional device mesh — each chunk is sharded along the data axis
+        (params replicated), the north-star streaming-serving layout. Results
+        are identical to single-device (SURVEY §2.3).
     """
     frames_f32 = frames_u8.astype(np.float32) / 255.0
     dev = episode_device_stage(
         vae_params, bn_state, critic_params, frames_f32, batch_size,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, mesh=mesh,
     )
 
     diff_u8, _ = normalize_diffs(jnp.asarray(dev["diff"]), jnp.asarray(dev["max_value"]))
@@ -167,18 +171,20 @@ def threshold_sweep(
     batch_size: int = 512,
     num_threads: int = 0,
     compute_dtype: str = "float32",
+    mesh=None,
 ) -> List[Dict]:
     """Threshold sweep with reconstructions computed once.
 
     The reference re-runs the entire pipeline (recons included) per
     threshold (vae.py:121-123); here the device stage runs once and all
     threshold masks + IoUs come from one vectorized pass. CRF still runs per
-    threshold (its input mask differs).
+    threshold (its input mask differs). ``mesh`` shards the device stage
+    over every chip, as in :func:`eval_episode`.
     """
     frames_f32 = frames_u8.astype(np.float32) / 255.0
     dev = episode_device_stage(
         vae_params, bn_state, critic_params, frames_f32, batch_size,
-        with_recons=False, compute_dtype=compute_dtype,
+        with_recons=False, compute_dtype=compute_dtype, mesh=mesh,
     )
     diff_u8, _ = normalize_diffs(jnp.asarray(dev["diff"]), jnp.asarray(dev["max_value"]))
     t_arr = jnp.asarray(list(thresholds))

@@ -61,6 +61,14 @@ def test_full_mode_matrix(workspace):
     assert os.path.exists(os.path.join(workspace, "bin_info_vae1.txt"))
     assert os.path.exists(os.path.join(workspace, "videos/video-threshold=50.gif"))
 
+    # sharded serving: same pipeline over the 8-device mesh must produce an
+    # identical bin_info (identical preds + masks end-to-end) — SURVEY §2.3
+    binfo = open(os.path.join(workspace, "bin_info_vae1.txt")).read()
+    _run(["video", *base, "--episode", os.path.join(workspace, "minerl-episode"),
+          "--batch-size", "8", "--no-crf", "--no-slice", "--no-gif",
+          "--num-devices", "8"])
+    assert open(os.path.join(workspace, "bin_info_vae1.txt")).read() == binfo
+
     _run(["video", *base, "--episode", os.path.join(workspace, "minerl-episode"),
           "--batch-size", "8", "--no-crf", "--no-slice", "--sweep"])
 
