@@ -171,3 +171,70 @@ def refine_masks(
     m = thr_masks.astype(np.float32)
     probs = np.stack([1.0 - m, m], axis=-1)
     return densecrf_batch(frames_u8, probs, params, num_threads).astype(bool)
+
+
+DEFAULT_PARAM_GRID = {
+    "w1": [22.0], "alpha": [12.0], "beta": [3.1],
+    "w2": [8.0], "gamma": [1.8], "iters": [10],
+}  # the reference's (degenerate, 1-combination) grid, vae_utility.py:25-30
+
+
+def crf_reference_scaffold(
+    imgs: np.ndarray,
+    mask: np.ndarray,
+    gt: np.ndarray,
+    skip: int = 1,
+    param_grid: Optional[dict] = None,
+    num_threads: int = 0,
+):
+    """The reference ``crf()`` wrapper's full scaffold semantics
+    (vae_utility.py:22-54): a parameter grid search with a ``skip``
+    subsampling view and in-place mask mutation.
+
+    Quirks reproduced deliberately (they are the reference's behavior):
+
+    * only every ``skip``-th frame is refined; the rest pass through with
+      their thresholded values (the reference mutates the ``mask[::skip]``
+      NumPy view in place);
+    * with a multi-combination grid, each combination refines the output of
+      the PREVIOUS one (the reference re-reads the mutated ``mask[::skip]``
+      every iteration), so the search is sequential, not independent;
+    * the per-combination whole-stack IoUs are computed against
+      ``gt[::skip]`` and sorted — the reference then discards them
+      (vae_utility.py:49-52); here they are returned, since they are the
+      only useful product of the sweep.
+
+    Args:
+      imgs: (N, H, W, 3) uint8 frames.
+      mask: (N, 1, H, W) float 0/1 threshold masks — the reference's layout;
+        mutated in place like the reference's.
+      gt: (N, H, W) bool ground truth.
+      param_grid: dict of lists with keys w1/alpha/beta/w2/gamma/iters
+        (default: the reference's fixed tuple).
+
+    Returns:
+      (refined, results): ``refined`` is the reference's return value — the
+      (N, 1, H, W) bool array with refined frames at ``::skip`` positions —
+      and ``results`` is the ascending-IoU list of (iou, param_tuple).
+    """
+    import itertools
+
+    grid = param_grid or DEFAULT_PARAM_GRID
+    combos = [
+        dict(zip(grid.keys(), vals))
+        for vals in itertools.product(*grid.values())
+    ]
+    mask = mask.copy()  # like the reference's `mask = mask.copy()`
+    view = mask[::skip]  # NumPy view — refinements land in `mask`
+    imgs_s = imgs[::skip]
+    gt_s = gt[::skip]
+
+    results = []
+    for c in combos:
+        params = (c["w1"], c["alpha"], c["beta"], c["w2"], c["gamma"], c["iters"])
+        refined = refine_masks(imgs_s, view[:, 0], params, num_threads)
+        view[:, 0] = refined  # in-place: the next combo re-refines this
+        iou = float(np.sum(gt_s & refined) / np.sum(gt_s | refined))
+        results.append((iou, params))
+    results.sort(key=lambda r: r[0])
+    return mask >= 1, results

@@ -67,3 +67,31 @@ def test_squeezes_reference_batch1_layout():
     prob = np.full((16, 16, 2), 0.5, np.float32)
     seg = densecrf(img, prob, PARAMS)
     assert seg.shape == (16, 16)
+
+
+def test_scaffold_grid_rerefines_sequentially(episode):
+    """A multi-combination grid refines the PREVIOUS combination's output
+    (the reference re-reads its mutated mask[::skip] view each iteration)."""
+    from critic_vae_tpu.crf import crf_reference_scaffold, refine_masks
+
+    frames, gt, noisy = episode
+    mask = noisy[:, None].astype(np.float32)
+    grid = {"w1": [22.0], "alpha": [12.0], "beta": [3.1],
+            "w2": [8.0], "gamma": [1.8], "iters": [5, 10]}
+    out, results = crf_reference_scaffold(frames, mask.copy(), gt, param_grid=grid)
+
+    step1 = refine_masks(frames, noisy, (22.0, 12.0, 3.1, 8.0, 1.8, 5))
+    step2 = refine_masks(frames, step1, (22.0, 12.0, 3.1, 8.0, 1.8, 10))
+    np.testing.assert_array_equal(out[:, 0], step2)
+    assert len(results) == 2
+    assert results[0][0] <= results[1][0]  # ascending-IoU order
+
+
+def test_scaffold_skip_passes_unrefined_frames_through(episode):
+    frames, gt, noisy = episode
+    mask = noisy[:, None].astype(np.float32)
+    from critic_vae_tpu.crf import crf_reference_scaffold
+
+    out, _ = crf_reference_scaffold(frames, mask.copy(), gt, skip=2)
+    np.testing.assert_array_equal(out[1::2, 0], noisy[1::2].astype(bool))
+    assert not np.array_equal(out[0::2, 0], noisy[0::2].astype(bool))

@@ -518,3 +518,25 @@ def test_train_loss_curve_parity(episode):
             losses_ours.append(float(loss))
 
     np.testing.assert_allclose(losses_ours, losses_ref, atol=5e-4, rtol=1e-3)
+
+
+def test_crf_scaffold_matches_reference_wrapper(reference_modules, episode):
+    """Our crf_reference_scaffold reproduces the reference crf() wrapper's
+    full scaffold — skip-view subsampling, in-place mutation, pass-through of
+    unrefined frames (vae_utility.py:22-54) — byte for byte."""
+    _vae_nets, vae_utility = reference_modules
+    frames, gt = episode
+    rng = np.random.default_rng(4)
+    noisy = gt ^ (rng.random(gt.shape) < 0.1)
+    mask = noisy[:, None].astype(np.float64)
+
+    # the reference needs gt with a trailing channel axis for its Y & M
+    # broadcast (same layout its caller uses, vae_utility.py:185)
+    ref_out = vae_utility.crf(frames, mask.copy(), gt[..., np.newaxis], skip=2)
+
+    from critic_vae_tpu.crf import crf_reference_scaffold
+
+    ours, results = crf_reference_scaffold(frames, mask.copy(), gt, skip=2)
+    np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref_out))
+    assert len(results) == 1  # the reference grid is a single combination
+    assert 0.0 <= results[0][0] <= 1.0
