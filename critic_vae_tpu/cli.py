@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
         "variant (proper Gaussian window, standard scale weighting) — "
         "anchors reconstruction luminance much better",
     )
+    t.add_argument(
+        "--dtype", default="float32", choices=["float32", "bfloat16"],
+        help="conv/matmul compute dtype for the train step (params, Adam "
+        "state, BN stats and the loss stay float32)",
+    )
 
     for name, help_ in (("eval", "evaluate source images (reference default mode)"),
                         ("inject", "injection ladder strips (reference: -inject)"),
@@ -203,6 +208,7 @@ def cmd_train(args) -> int:
         learning_rate=args.lr,
         kld_weight=args.kld_weight,
         faithful_msssim=not args.correct_msssim,
+        compute_dtype=args.dtype,
         seed=args.seed,
         log_dir=log_dir,
         checkpoint_dir=str(cfg.paths.resolve("checkpoints")),

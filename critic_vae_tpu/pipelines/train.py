@@ -42,6 +42,7 @@ def train(
     learning_rate: float = 5e-5,
     kld_weight: float = 1e-3,
     faithful_msssim: bool = True,
+    compute_dtype: str = "float32",
     seed: int = 0,
     log_every_batches: int = 30,
     log_dir: Optional[str] = None,
@@ -90,9 +91,13 @@ def train(
     else:
         dataset_dev = jnp.asarray(dataset)
 
+    # compute_dtype="bfloat16" runs conv/matmul math in bf16 (params, Adam
+    # state, BN statistics, and the loss stay float32 — see train/step.py);
+    # measured descent-equivalent on synthetic data, see docs/DESIGN.md.
     multi_step = make_multi_step(
         critic_params, tx, kld_weight=kld_weight,
         faithful_msssim=faithful_msssim, mesh=mesh,
+        compute_dtype=jnp.dtype(compute_dtype),
     )
 
     logger = MetricLogger(log_dir) if log_dir else None

@@ -100,6 +100,29 @@ def test_nonfinite_batch_does_not_poison_params(critic_params):
 
 
 @requires_reference
+def test_bf16_step_descends_and_keeps_f32_state(critic_params, batch):
+    """bfloat16 compute: loss must still descend; params/opt/BN stay f32."""
+    state, tx = init_train_state(jax.random.key(0))
+    step = make_train_step(
+        critic_params, tx, donate=False, compute_dtype=jnp.bfloat16
+    )
+    first = None
+    b = jnp.asarray(batch)
+    for _ in range(30):
+        state, metrics = step(state, b)
+        if first is None:
+            first = float(metrics["total_loss"])
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert float(metrics["total_loss"]) < first
+    assert all(
+        leaf.dtype == jnp.float32 for leaf in jax.tree.leaves(state.params)
+    )
+    assert all(
+        leaf.dtype == jnp.float32 for leaf in jax.tree.leaves(state.bn_state)
+    )
+
+
+@requires_reference
 def test_nonfinite_batch_does_not_poison_bn_state(critic_params):
     """BatchNorm running stats are committed outside apply_if_finite's reach;
     a NaN batch must leave them untouched too (they ship in the final
