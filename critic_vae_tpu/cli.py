@@ -148,6 +148,20 @@ def build_parser() -> argparse.ArgumentParser:
     tc.add_argument("--dropout", type=float, default=0.3)
     tc.add_argument("--out", default=None, help="output critic .npz path")
 
+    x = sub.add_parser(
+        "export",
+        help="export framework weights as torch .pt state_dicts loadable by "
+        "the reference (new capability — the interop inverse of ingestion)",
+    )
+    _add_common(x)
+    _add_vae_weights(x)
+    x.add_argument("--encoder-out", default=None, help="torch .pt path for the encoder state_dict")
+    x.add_argument("--decoder-out", default=None, help="torch .pt path for the decoder state_dict")
+    x.add_argument(
+        "--critic-out", default=None,
+        help="also export the critic (from --critic) as a torch .pt state_dict",
+    )
+
     return ap
 
 
@@ -414,8 +428,38 @@ def cmd_traincritic(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    cfg = _cfg(args)
+    from critic_vae_tpu.io.legacy_pt import save_torch_pt
+
+    wrote = []
+    if args.encoder_out or args.decoder_out:
+        if not (args.encoder_out and args.decoder_out):
+            print("error: --encoder-out and --decoder-out go together", file=sys.stderr)
+            return 1
+        from critic_vae_tpu.models.vae import vae_state_dicts_to_torch
+
+        vae_params, bn_state = _load_vae(args, cfg)
+        enc_sd, dec_sd = vae_state_dicts_to_torch(vae_params, bn_state)
+        save_torch_pt(args.encoder_out, enc_sd)
+        save_torch_pt(args.decoder_out, dec_sd)
+        wrote += [args.encoder_out, args.decoder_out]
+    if args.critic_out:
+        from critic_vae_tpu.models.critic import critic_state_dict_to_torch
+
+        save_torch_pt(args.critic_out, critic_state_dict_to_torch(_critic(args, cfg)))
+        wrote.append(args.critic_out)
+    if not wrote:
+        print("error: nothing to export (pass --encoder-out/--decoder-out "
+              "and/or --critic-out)", file=sys.stderr)
+        return 1
+    print(f"exported {', '.join(wrote)}")
+    return 0
+
+
 COMMANDS = {
     "train": cmd_train,
+    "export": cmd_export,
     "traincritic": cmd_traincritic,
     "eval": cmd_eval,
     "inject": cmd_inject,

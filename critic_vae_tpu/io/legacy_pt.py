@@ -22,6 +22,7 @@ whitelists the handful of symbols torch state_dicts actually use.
 from __future__ import annotations
 
 import io
+import os
 import pickle
 import struct
 import zipfile
@@ -199,3 +200,114 @@ def load_torch_pt(path: str) -> Any:
             return _load_zip(f)
         f.seek(0)
         return _load_legacy(f)
+
+
+# ---------------------------------------------------------------------------
+# Writer: numpy state_dict → torch zipfile ``.pt`` (no torch required)
+# ---------------------------------------------------------------------------
+# The inverse of the reader above, so weights trained in this framework can
+# be loaded back into the torch reference with a plain
+# ``module.load_state_dict(torch.load(path))`` (reference load sites:
+# vae_utility.py:354-355,366). The pickle stream is emitted opcode by opcode:
+# using pickle.Pickler for torch globals would require the real torch
+# objects (save_global identity checks), which this module must not import.
+
+_STORAGE_FOR_DTYPE = {
+    np.dtype("<f4"): "FloatStorage",
+    np.dtype("<f8"): "DoubleStorage",
+    np.dtype("<f2"): "HalfStorage",
+    np.dtype("<i8"): "LongStorage",
+    np.dtype("<i4"): "IntStorage",
+    np.dtype("<i2"): "ShortStorage",
+    np.dtype("i1"): "CharStorage",
+    np.dtype("u1"): "ByteStorage",
+    np.dtype("?"): "BoolStorage",
+}
+if _BFLOAT16 != np.dtype(np.uint16):  # only when ml_dtypes is present
+    _STORAGE_FOR_DTYPE[_BFLOAT16] = "BFloat16Storage"
+
+
+def _op_int(out: bytearray, n: int) -> None:
+    if 0 <= n < 256:
+        out += b"K" + bytes([n])  # BININT1
+    elif 0 <= n < 65536:
+        out += b"M" + struct.pack("<H", n)  # BININT2
+    else:
+        out += b"J" + struct.pack("<i", n)  # BININT
+
+def _op_str(out: bytearray, s: str) -> None:
+    b = s.encode("utf-8")
+    out += b"X" + struct.pack("<I", len(b)) + b  # BINUNICODE
+
+def _op_global(out: bytearray, module: str, name: str) -> None:
+    out += b"c" + module.encode() + b"\n" + name.encode() + b"\n"  # GLOBAL
+
+def _op_int_tuple(out: bytearray, values) -> None:
+    out += b"("  # MARK
+    for v in values:
+        _op_int(out, int(v))
+    out += b"t"  # TUPLE
+
+
+def _contiguous_strides(shape) -> tuple:
+    strides, acc = [], 1
+    for dim in reversed(shape):
+        strides.append(acc)
+        acc *= dim
+    return tuple(reversed(strides))
+
+
+def save_torch_pt(path: str, state_dict: Dict[str, np.ndarray]) -> None:
+    """Write a flat ``{name: array}`` dict as a torch zipfile ``.pt``.
+
+    The output loads with ``torch.load(path, weights_only=True)`` (tensors
+    on CPU, contiguous) and with this module's :func:`load_torch_pt`.
+    """
+    items = []
+    for key, arr in state_dict.items():
+        arr = np.ascontiguousarray(arr)
+        if arr.dtype not in _STORAGE_FOR_DTYPE:
+            raise TypeError(f"{key!r}: no torch storage type for dtype {arr.dtype}")
+        items.append((key, arr))
+
+    pkl = bytearray(b"\x80\x02}(")  # PROTO 2, EMPTY_DICT, MARK
+    for i, (key, arr) in enumerate(items):
+        _op_str(pkl, key)
+        _op_global(pkl, "torch._utils", "_rebuild_tensor_v2")
+        pkl += b"("  # MARK for the args tuple
+        #   persistent id: ('storage', StorageType, key, 'cpu', numel)
+        pkl += b"("
+        _op_str(pkl, "storage")
+        _op_global(pkl, "torch", _STORAGE_FOR_DTYPE[arr.dtype])
+        _op_str(pkl, str(i))
+        _op_str(pkl, "cpu")
+        _op_int(pkl, arr.size)
+        pkl += b"tQ"  # TUPLE, BINPERSID
+        _op_int(pkl, 0)  # storage_offset
+        _op_int_tuple(pkl, arr.shape)
+        _op_int_tuple(pkl, _contiguous_strides(arr.shape))
+        pkl += b"\x89"  # NEWFALSE (requires_grad)
+        _op_global(pkl, "collections", "OrderedDict")
+        pkl += b")R"  # EMPTY_TUPLE, REDUCE → empty backward_hooks
+        pkl += b"tR"  # close args tuple, REDUCE → the tensor
+    pkl += b"u."  # SETITEMS, STOP
+
+    import tempfile as _tempfile
+
+    directory = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(directory, exist_ok=True)
+    fd, tmp = _tempfile.mkstemp(dir=directory, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f, zipfile.ZipFile(
+            f, "w", zipfile.ZIP_STORED
+        ) as zf:
+            zf.writestr("archive/data.pkl", bytes(pkl))
+            zf.writestr("archive/byteorder", "little")
+            for i, (_key, arr) in enumerate(items):
+                zf.writestr(f"archive/data/{i}", arr.tobytes())
+            zf.writestr("archive/version", "3\n")
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise

@@ -184,6 +184,28 @@ def load_critic(path: str) -> Params:
     return critic_params_from_torch(load_torch_pt(path))
 
 
+def critic_state_dict_to_torch(params: Params) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`critic_params_from_torch`: the torch reference's
+    ``state_dict`` layout, so framework-trained critics load into the
+    reference's ``Critic`` via torch.load (vae_utility.py:363-370)."""
+    conv_keys = ["features.0", "features.3", "features.6", "features.10"]
+    sd: Dict[str, np.ndarray] = {}
+    for i, key in enumerate(conv_keys):
+        sd[f"{key}.weight"] = np.transpose(
+            np.asarray(params[f"conv{i}_w"]), (3, 2, 0, 1)
+        ).copy()
+        sd[f"{key}.bias"] = np.asarray(params[f"conv{i}_b"])
+    sd["features.14.weight"] = np.transpose(
+        np.asarray(params["conv4_w"]), (3, 2, 0, 1)
+    ).copy()
+    sd["features.14.bias"] = np.asarray(params["conv4_b"])
+    sd["crit.1.weight"] = np.ascontiguousarray(np.asarray(params["fc0_w"]).T)
+    sd["crit.1.bias"] = np.asarray(params["fc0_b"])
+    sd["crit.4.weight"] = np.ascontiguousarray(np.asarray(params["fc1_w"]).T)
+    sd["crit.4.bias"] = np.asarray(params["fc1_b"])
+    return sd
+
+
 def save_critic(path: str, params: Params) -> None:
     """Save a framework-native critic as ``.npz`` (flat key → array)."""
     import numpy as np_

@@ -330,5 +330,43 @@ def vae_params_from_torch(
     return {"encoder": enc, "decoder": dec}, state
 
 
+def vae_state_dicts_to_torch(
+    params: Params, state: State
+) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
+    """Inverse of :func:`vae_params_from_torch`: NHWC pytrees → the torch
+    reference's encoder/decoder ``state_dict`` layouts (OIHW convs,
+    (out, in) linears, BN running stats + ``num_batches_tracked``), so
+    weights trained here load into the reference with
+    ``module.load_state_dict(torch.load(path))`` (vae_utility.py:354-355).
+    """
+    def conv(p):
+        return np.transpose(np.asarray(p["w"]), (3, 2, 0, 1)).copy(), np.asarray(p["b"])
+
+    def linear(p):
+        return np.ascontiguousarray(np.asarray(p["w"]).T), np.asarray(p["b"])
+
+    enc_sd: Dict[str, np.ndarray] = {}
+    for i, idx in enumerate((0, 4, 8, 12)):
+        w, b = conv(params["encoder"][f"conv{i}"])
+        enc_sd[f"model.{idx}.weight"], enc_sd[f"model.{idx}.bias"] = w, b
+        bn = f"model.{idx + 1}"
+        enc_sd[f"{bn}.weight"] = np.asarray(params["encoder"][f"bn{i}"]["scale"])
+        enc_sd[f"{bn}.bias"] = np.asarray(params["encoder"][f"bn{i}"]["bias"])
+        enc_sd[f"{bn}.running_mean"] = np.asarray(state[f"bn{i}"]["mean"])
+        enc_sd[f"{bn}.running_var"] = np.asarray(state[f"bn{i}"]["var"])
+        enc_sd[f"{bn}.num_batches_tracked"] = np.asarray(0, np.int64)
+    for name in ("fc_mu", "fc_var"):
+        w, b = linear(params["encoder"][name])
+        enc_sd[f"{name}.weight"], enc_sd[f"{name}.bias"] = w, b
+
+    dec_sd: Dict[str, np.ndarray] = {}
+    w, b = linear(params["decoder"]["input"])
+    dec_sd["decoder_input.weight"], dec_sd["decoder_input.bias"] = w, b
+    for i, idx in enumerate((0, 3, 6, 9, 12)):
+        w, b = conv(params["decoder"][f"conv{i}"])
+        dec_sd[f"model.{idx}.weight"], dec_sd[f"model.{idx}.bias"] = w, b
+    return enc_sd, dec_sd
+
+
 def param_count(params: Params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))

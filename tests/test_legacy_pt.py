@@ -71,3 +71,55 @@ def test_rejects_arbitrary_globals(tmp_path):
         f.write(b"cos\nsystem\n(S'true'\ntR.")
     with pytest.raises(Exception):
         load_torch_pt(str(p))
+
+
+# ---------------------------------------------------------------------------
+# writer: save_torch_pt (the interop inverse of the reader)
+# ---------------------------------------------------------------------------
+
+
+def test_save_torch_pt_roundtrip_own_reader(tmp_path):
+    from critic_vae_tpu.io.legacy_pt import load_torch_pt, save_torch_pt
+
+    rng = np.random.default_rng(0)
+    sd = {
+        "conv.weight": rng.normal(size=(8, 3, 5, 5)).astype(np.float32),
+        "conv.bias": rng.normal(size=(8,)).astype(np.float32),
+        "steps": np.asarray(7, np.int64),  # 0-d tensor
+        "flags": np.asarray([True, False]),
+        "bytes": rng.integers(0, 255, (4, 4), dtype=np.uint8),
+    }
+    path = str(tmp_path / "out.pt")
+    save_torch_pt(path, sd)
+    back = load_torch_pt(path)
+    assert set(back) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(np.asarray(back[k]), sd[k])
+        assert np.asarray(back[k]).dtype == sd[k].dtype
+
+
+@requires_torch
+def test_save_torch_pt_loads_with_torch(tmp_path):
+    import torch
+
+    from critic_vae_tpu.io.legacy_pt import save_torch_pt
+
+    rng = np.random.default_rng(1)
+    sd = {
+        "w": rng.normal(size=(4, 3, 3, 3)).astype(np.float32),
+        "b": rng.normal(size=(4,)).astype(np.float64),
+        "n": np.asarray(3, np.int64),
+    }
+    path = str(tmp_path / "out.pt")
+    save_torch_pt(path, sd)
+    loaded = torch.load(path, weights_only=True)
+    assert set(loaded) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(loaded[k].numpy(), sd[k])
+
+
+def test_save_torch_pt_rejects_unsupported_dtype(tmp_path):
+    from critic_vae_tpu.io.legacy_pt import save_torch_pt
+
+    with pytest.raises(TypeError):
+        save_torch_pt(str(tmp_path / "x.pt"), {"c": np.zeros(2, np.complex64)})

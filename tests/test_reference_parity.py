@@ -540,3 +540,69 @@ def test_crf_scaffold_matches_reference_wrapper(reference_modules, episode):
     np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref_out))
     assert len(results) == 1  # the reference grid is a single combination
     assert 0.0 <= results[0][0] <= 1.0
+
+
+def test_export_roundtrip_into_reference_modules(reference_modules, tmp_path, episode):
+    """Weights exported via save_torch_pt + the inverse converters load into
+    the reference's ACTUAL torch modules (strict state_dict load) and
+    reproduce our deterministic forward — the full interop inverse of
+    checkpoint ingestion (reference load sites: vae_utility.py:354-366)."""
+    import jax
+    import torch
+
+    _vae_nets, _vae_utility = reference_modules
+    sys.path.insert(0, REFERENCE)
+    from critic_net import Critic
+    from vae_nets import VariationalAutoencoder
+
+    from critic_vae_tpu.io.legacy_pt import save_torch_pt
+    from critic_vae_tpu.models.critic import (
+        critic_apply,
+        critic_state_dict_to_torch,
+        init_critic_params,
+    )
+    from critic_vae_tpu.models.vae import (
+        evaluate,
+        init_vae_params,
+        vae_state_dicts_to_torch,
+    )
+
+    frames, _gt = episode
+    x = frames[:8].astype(np.float32) / 255.0
+
+    # --- VAE: ours → .pt → reference modules → eval-path forward ----------
+    params, bn = init_vae_params(jax.random.key(42))
+    # make BN stats nontrivial so the export path is actually exercised
+    bn = {k: {"mean": v["mean"] + 0.05, "var": v["var"] * 1.1} for k, v in bn.items()}
+    enc_sd, dec_sd = vae_state_dicts_to_torch(params, bn)
+    enc_pt, dec_pt = str(tmp_path / "enc.pt"), str(tmp_path / "dec.pt")
+    save_torch_pt(enc_pt, enc_sd)
+    save_torch_pt(dec_pt, dec_sd)
+
+    tvae = VariationalAutoencoder()
+    tvae.encoder.load_state_dict(torch.load(enc_pt, weights_only=True))
+    tvae.decoder.load_state_dict(torch.load(dec_pt, weights_only=True))
+    tvae.eval()
+
+    values = np.linspace(0.1, 0.9, 8).astype(np.float32)
+    with jax.default_matmul_precision("highest"):
+        ours = np.asarray(evaluate(params, bn, jax.numpy.asarray(x), jax.numpy.asarray(values)))
+    with torch.no_grad():
+        for i in range(8):  # reference evaluate is batch-1 (vae_nets.py:42-46)
+            t = torch.tensor(x[i].transpose(2, 0, 1)[None])
+            ref = tvae.evaluate(t, torch.tensor([values[i]]))
+            np.testing.assert_allclose(
+                ours[i], ref[0].numpy().transpose(1, 2, 0), atol=2e-5
+            )
+
+    # --- critic: ours → .pt → reference Critic → evaluate ------------------
+    cparams = init_critic_params(jax.random.key(7))
+    crit_pt = str(tmp_path / "critic.pt")
+    save_torch_pt(crit_pt, critic_state_dict_to_torch(cparams))
+    tcritic = Critic()
+    tcritic.load_state_dict(torch.load(crit_pt, weights_only=True))
+    tcritic.eval()
+    with jax.default_matmul_precision("highest"):
+        ours_p = np.asarray(critic_apply(cparams, jax.numpy.asarray(x)))
+    ref_p = tcritic.evaluate(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(ours_p, ref_p, atol=2e-5)
