@@ -66,6 +66,10 @@ def episode_device_stage(
     north star's streaming-video layout (frames sharded, params replicated,
     no collectives needed since the per-frame stage is embarrassingly data
     parallel). Returns host arrays.
+
+    ``frames_f32`` may also be uint8: chunks then ship to the device raw
+    (4× less host→device traffic — the dominant cost for streamed episodes)
+    and normalize on device with identical results (see episode_forward).
     """
     from critic_vae_tpu.parallel.mesh import replicate, shard_batch
 
@@ -125,9 +129,8 @@ def eval_episode(
         (params replicated), the north-star streaming-serving layout. Results
         are identical to single-device (SURVEY §2.3).
     """
-    frames_f32 = frames_u8.astype(np.float32) / 255.0
     dev = episode_device_stage(
-        vae_params, bn_state, critic_params, frames_f32, batch_size,
+        vae_params, bn_state, critic_params, frames_u8, batch_size,
         compute_dtype=compute_dtype, mesh=mesh,
     )
 
@@ -181,9 +184,8 @@ def threshold_sweep(
     threshold (its input mask differs). ``mesh`` shards the device stage
     over every chip, as in :func:`eval_episode`.
     """
-    frames_f32 = frames_u8.astype(np.float32) / 255.0
     dev = episode_device_stage(
-        vae_params, bn_state, critic_params, frames_f32, batch_size,
+        vae_params, bn_state, critic_params, frames_u8, batch_size,
         with_recons=False, compute_dtype=compute_dtype, mesh=mesh,
     )
     diff_u8, _ = normalize_diffs(jnp.asarray(dev["diff"]), jnp.asarray(dev["max_value"]))

@@ -62,6 +62,33 @@ def test_threshold_sweep_matches_individual():
         np.testing.assert_array_equal(sweep[i], np.asarray(u8) > t)
 
 
+@requires_reference
+def test_episode_forward_uint8_matches_f32(critic_params):
+    """uint8 frames normalize on device; equivalent to the host-normalized
+    f32 path within float noise (XLA lowers /255 to multiply-by-reciprocal,
+    ≤1 ulp on the inputs), and identical after uint8 quantization."""
+    import jax
+
+    from critic_vae_tpu.models.vae import init_vae_params
+    from critic_vae_tpu.ops.mask import episode_forward, normalize_diffs
+
+    params, bn = init_vae_params(jax.random.key(0))
+    rng = np.random.default_rng(7)
+    u8 = rng.integers(0, 256, (8, 64, 64, 3), dtype=np.uint8)
+    a = episode_forward(params, bn, critic_params, jnp.asarray(u8))
+    b = episode_forward(
+        params, bn, critic_params, jnp.asarray(u8.astype(np.float32) / 255.0)
+    )
+    np.testing.assert_allclose(np.asarray(a["preds"]), np.asarray(b["preds"]), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(a["diff"]), np.asarray(b["diff"]), rtol=5e-4, atol=1e-6
+    )
+    ua, _ = normalize_diffs(a["diff"], a["max_value"])
+    ub, _ = normalize_diffs(b["diff"], b["max_value"])
+    close = np.abs(np.asarray(ua).astype(int) - np.asarray(ub).astype(int)) <= 1
+    assert close.mean() > 0.999
+
+
 def test_threshold_out_of_range_is_all_false():
     """t > 255 must select nothing (reference uint8 semantics), not wrap
     modulo 256 — t=300 used to become t=44."""
