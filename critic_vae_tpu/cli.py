@@ -96,6 +96,12 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--threshold", type=int, default=50)
     v.add_argument("--sweep", action="store_true", help="threshold sweep 0..120 (reference: -thresh)")
     v.add_argument("--no-crf", action="store_true")
+    v.add_argument(
+        "--crf-backend", default="host", choices=["host", "device"],
+        help="CRF refinement backend: 'host' = C++ permutohedral lattice, "
+        "'device' = exact dense-CRF mean-field on the accelerator "
+        "(MXU matmuls; no host bottleneck)",
+    )
     v.add_argument("--no-gif", action="store_true")
     v.add_argument(
         "--no-slice", action="store_true",
@@ -307,7 +313,7 @@ def cmd_video(args) -> int:
                 vae_params, bn_state, critic_params, frames, gt,
                 cfg.mask.threshold_sweep, run_crf=not args.no_crf,
                 batch_size=args.batch_size, compute_dtype=args.dtype,
-                mesh=mesh,
+                mesh=mesh, crf_backend=args.crf_backend,
             )
         for r in results:
             print(f"thr={r['threshold']}, thr_iou={r['thr_iou']}, crf_iou={r['crf_iou']}")
@@ -318,7 +324,7 @@ def cmd_video(args) -> int:
             vae_params, bn_state, critic_params, frames, gt,
             threshold=args.threshold, run_crf=not args.no_crf,
             batch_size=args.batch_size, compute_dtype=args.dtype,
-            mesh=mesh,
+            mesh=mesh, crf_backend=args.crf_backend,
         )
     print(f"thr_iou={result.thr_iou}")
     print(f"crf_iou={result.crf_iou}")

@@ -41,6 +41,22 @@ from critic_vae_tpu.ops.mask import (
 DEFAULT_CRF_PARAMS = (22.0, 12.0, 3.1, 8.0, 1.8, 10)  # vae_utility.py:25-30
 
 
+def _refine(frames_u8, thr_masks, crf_params, backend: str, num_threads: int):
+    """Dispatch CRF refinement to the host C++ lattice or the on-device
+    exact mean-field (``crf/device.py``). ``device`` computes the exact
+    Gaussian model the lattice approximates and keeps the whole video
+    pipeline on the accelerator."""
+    if backend == "device":
+        from critic_vae_tpu.crf.device import refine_masks_device
+
+        return refine_masks_device(frames_u8, thr_masks, crf_params)
+    if backend != "host":
+        raise ValueError(f"unknown crf backend {backend!r} (host|device)")
+    from critic_vae_tpu.crf import refine_masks
+
+    return refine_masks(frames_u8, thr_masks, crf_params, num_threads)
+
+
 @dataclasses.dataclass
 class EpisodeResult:
     preds: np.ndarray  # (N,)
@@ -118,6 +134,7 @@ def eval_episode(
     num_threads: int = 0,
     compute_dtype: str = "float32",
     mesh=None,
+    crf_backend: str = "host",
 ) -> EpisodeResult:
     """Full mask pipeline over an episode (reference: eval_textured_frames).
 
@@ -143,9 +160,7 @@ def eval_episode(
 
     crf_masks = crf_iou_val = None
     if run_crf:
-        from critic_vae_tpu.crf import refine_masks
-
-        crf_masks = refine_masks(frames_u8, thr_masks, crf_params, num_threads)
+        crf_masks = _refine(frames_u8, thr_masks, crf_params, crf_backend, num_threads)
         if gt is not None:
             crf_iou_val = iou(gt, crf_masks)
 
@@ -175,6 +190,7 @@ def threshold_sweep(
     num_threads: int = 0,
     compute_dtype: str = "float32",
     mesh=None,
+    crf_backend: str = "host",
 ) -> List[Dict]:
     """Threshold sweep with reconstructions computed once.
 
@@ -198,9 +214,7 @@ def threshold_sweep(
     for ti, t in enumerate(thresholds):
         crf_iou_val = None
         if run_crf:
-            from critic_vae_tpu.crf import refine_masks
-
-            crf_masks = refine_masks(frames_u8, masks[ti], crf_params, num_threads)
+            crf_masks = _refine(frames_u8, masks[ti], crf_params, crf_backend, num_threads)
             crf_iou_val = iou(gt, crf_masks)
         results.append(
             {

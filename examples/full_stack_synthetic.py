@@ -91,6 +91,14 @@ def main(out_dir="/tmp/cvt-fullstack"):
     )
     print(f"    thr_iou={result.thr_iou}")
     print(f"    crf_iou={result.crf_iou}")
+
+    # device-CRF comparison: the exact mean-field the lattice approximates,
+    # run as MXU matmuls (crf/device.py) — no host bottleneck
+    from critic_vae_tpu.crf.device import refine_masks_device
+    from critic_vae_tpu.ops.iou import iou as iou_fn
+
+    dev_crf = refine_masks_device(ep_frames, result.thr_masks)
+    print(f"    crf_iou(device-exact)={iou_fn(ep_gt, dev_crf)}")
     diag = bin_diagnostics(result.preds, ep_gt, result.thr_masks)
     write_bin_info(diag, os.path.join(out_dir, "bin_info_vae1.txt"), len(ep_frames))
     strips = compose_frames(ep_frames[:120], result, ep_gt[:120], threshold=50)

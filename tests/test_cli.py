@@ -72,6 +72,11 @@ def test_full_mode_matrix(workspace):
     _run(["video", *base, "--episode", os.path.join(workspace, "minerl-episode"),
           "--batch-size", "8", "--no-crf", "--no-slice", "--sweep"])
 
+    # on-device exact CRF refinement (crf/device.py) through the CLI
+    _run(["video", *base, "--episode", os.path.join(workspace, "minerl-episode"),
+          "--batch-size", "8", "--no-slice", "--no-gif",
+          "--crf-backend", "device"])
+
     dset_path = os.path.join(workspace, "recon.npz")
     _run(["dataset", *base, "--source", "synthetic:1:32", "--out", dset_path,
           "--total-images", "32"])

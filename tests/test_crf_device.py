@@ -1,0 +1,128 @@
+"""On-device exact dense-CRF tests (crf/device.py).
+
+The device backend computes the exact Gaussian mean-field that the C++
+permutohedral lattice (crf/densecrf.cpp) approximates; both replace the
+reference's external ``denseCRF`` call (vae_utility.py:39). Tests pin the
+device result to an independent dense NumPy mean-field (exactness), to the
+lattice backend (approximation agreement), and through the pipeline dispatch.
+"""
+
+import numpy as np
+import pytest
+
+from critic_vae_tpu.crf import densecrf_batch, refine_masks
+from critic_vae_tpu.crf.device import densecrf_device, refine_masks_device
+from critic_vae_tpu.data.synthetic import generate_frames
+from critic_vae_tpu.ops.iou import iou
+
+PARAMS = (22.0, 12.0, 3.1, 8.0, 1.8, 10)  # reference tuple (vae_utility.py:25-30)
+
+
+def _numpy_exact(img_u8, prob, params):
+    """Independent dense mean-field in float64 — the ground-truth model."""
+    w1, alpha, beta, w2, gamma, iters = params
+    h, w, L = prob.shape
+    n = h * w
+    yy, xx = np.mgrid[0:h, 0:w]
+    xy = np.stack([xx.ravel(), yy.ravel()], -1).astype(np.float64)
+
+    def kernel(feats, weight):
+        d2 = ((feats[:, None, :] - feats[None, :, :]) ** 2).sum(-1)
+        k = np.exp(-0.5 * d2)
+        np.fill_diagonal(k, 0.0)  # pairwise energies: j != i
+        nrm = 1.0 / np.sqrt(k.sum(-1) + 1e-20)
+        return weight * (nrm[:, None] * nrm[None, :]) * k
+
+    fb = np.concatenate([xy / alpha, img_u8.reshape(n, 3).astype(np.float64) / beta], -1)
+    m = kernel(fb, w1) + kernel(xy / gamma, w2)
+
+    u = -np.log(np.maximum(prob.reshape(n, L), 1e-8))
+    q = np.exp(-u)
+    q /= q.sum(-1, keepdims=True)
+    for _ in range(iters):
+        nxt = -u + m @ q
+        nxt -= nxt.max(-1, keepdims=True)
+        q = np.exp(nxt)
+        q /= q.sum(-1, keepdims=True)
+    return q.argmax(-1).reshape(h, w).astype(np.uint8)
+
+
+@pytest.fixture(scope="module")
+def episode():
+    frames, gt = generate_frames(6, seed=3)
+    rng = np.random.default_rng(0)
+    noisy = gt ^ (rng.random(gt.shape) < 0.08)
+    return frames, gt, noisy
+
+
+def test_matches_independent_exact_mean_field():
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 256, (3, 20, 20, 3), np.uint8)
+    m = np.zeros((3, 20, 20), np.float32)
+    for i in range(3):
+        cy, cx = rng.integers(4, 16, 2)
+        yy, xx = np.mgrid[0:20, 0:20]
+        m[i] = ((yy - cy) ** 2 + (xx - cx) ** 2 < 25).astype(np.float32)
+    probs = np.stack([1 - m, m], -1)
+    dev = densecrf_device(imgs, probs, PARAMS, frame_chunk=2)
+    ref = np.stack([_numpy_exact(imgs[i], probs[i], PARAMS) for i in range(3)])
+    np.testing.assert_array_equal(dev, ref)
+
+
+def test_agrees_with_lattice_backend(episode):
+    """The lattice approximates the exact kernel; segmentations should agree
+    near-perfectly on real mask-refinement inputs, and the exact model
+    should refine at least as well as the approximation."""
+    frames, gt, noisy = episode
+    dev = refine_masks_device(frames, noisy, PARAMS)
+    cpp = refine_masks(frames, noisy, PARAMS)
+    assert (dev == cpp).mean() > 0.99
+    assert iou(gt, dev) >= iou(gt, cpp) - 0.01
+
+
+def test_refinement_improves_noisy_masks(episode):
+    frames, gt, noisy = episode
+    refined = refine_masks_device(frames, noisy, PARAMS)
+    assert iou(gt, refined) > iou(gt, noisy) + 0.2
+
+
+def test_single_frame_layout():
+    img = np.zeros((16, 16, 3), np.uint8)
+    prob = np.full((16, 16, 2), 0.5, np.float32)
+    seg = densecrf_device(img, prob, PARAMS)
+    assert seg.shape == (16, 16) and seg.dtype == np.uint8
+
+
+def test_zero_iters_returns_argmax():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (12, 12, 3), dtype=np.uint8)
+    prob = rng.random((12, 12, 2)).astype(np.float32)
+    prob /= prob.sum(-1, keepdims=True)
+    seg = densecrf_device(img, prob, (22, 12, 3.1, 8, 1.8, 0))
+    np.testing.assert_array_equal(seg, np.argmax(prob, -1).astype(np.uint8))
+
+
+def test_bfloat16_kernels_agree(episode):
+    """bf16 pairwise matrices (half the HBM traffic) should not move the
+    segmentation materially."""
+    frames, _, noisy = episode
+    f32 = refine_masks_device(frames, noisy, PARAMS)
+    bf16 = refine_masks_device(frames, noisy, PARAMS, compute_dtype="bfloat16")
+    assert (f32 == bf16).mean() > 0.995
+
+
+def test_shape_validation():
+    with pytest.raises(ValueError):
+        densecrf_device(
+            np.zeros((2, 8, 8, 3), np.uint8), np.zeros((3, 8, 8, 2), np.float32), PARAMS
+        )
+
+
+def test_pipeline_dispatch_device_backend(episode):
+    from critic_vae_tpu.pipelines.video import _refine
+
+    frames, _, noisy = episode
+    out = _refine(frames, noisy, PARAMS, "device", 0)
+    np.testing.assert_array_equal(out, refine_masks_device(frames, noisy, PARAMS))
+    with pytest.raises(ValueError):
+        _refine(frames, noisy, PARAMS, "gpu", 0)
