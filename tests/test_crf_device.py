@@ -118,6 +118,26 @@ def test_shape_validation():
         )
 
 
+def test_param_search_is_independent_and_sorted(episode):
+    """Every combination refines the ORIGINAL masks (unlike the reference
+    scaffold's sequential re-refinement) and results come back best-first."""
+    from critic_vae_tpu.crf.device import crf_param_search
+
+    frames, gt, noisy = episode
+    best_masks, results = crf_param_search(
+        frames, noisy, gt, {"iters": [2, 10]}
+    )
+    assert len(results) == 2
+    assert results[0][0] >= results[1][0]
+    for score, params in results:
+        indep = refine_masks_device(frames, noisy, params)
+        # search scores are raw; ops.iou rounds to 3 decimals (reference)
+        np.testing.assert_allclose(score, iou(gt, indep), atol=5e-4)
+    np.testing.assert_array_equal(
+        best_masks, refine_masks_device(frames, noisy, results[0][1])
+    )
+
+
 def test_pipeline_dispatch_device_backend(episode):
     from critic_vae_tpu.pipelines.video import _refine
 
