@@ -15,8 +15,9 @@ model the lattice only approximates:
     K_b[i,j] = exp(-1/2 ||(x,y)/alpha - .||^2 - 1/2 ||rgb/beta - .||^2),  i != j
     K_s[i,j] = exp(-1/2 ||(x,y)/gamma - .||^2),                           i != j
     n_k      = 1/sqrt(K_k @ 1 + 1e-20)          (symmetric normalization)
-    M        = w1 * (n_b n_b^T) . K_b  +  w2 * (n_s n_s^T) . K_s
-    Q <- softmax(-U + M @ Q)   for `iters` steps;   seg = argmax Q
+    M_b      = w1 * (n_b n_b^T) . K_b
+    Q <- softmax(-U + M_b @ Q + w2 * n_s . (K_s @ (n_s . Q)))   x iters
+    seg = argmax Q
 
 with the same unary (-log(clamp(prob, 1e-8))), Q0 (normalized prob) and
 Potts compatibility (via the softmax shift-invariance) as the C++ path.
@@ -35,10 +36,12 @@ term vs 0.995 without, lattice backend 0.939, on the synthetic-episode
 corpus).  Excluding the diagonal is both the correct model and the better
 segmenter; segmentation agreement with the lattice backend is >99.7%.
 
-The spatial kernel depends only on (H, W, gamma), so its normalized matrix
-is computed once and shared across every frame of a batch (mirroring the
-C++ ``densecrf_batch``'s shared spatial lattice).  Frames are processed in
-fixed-size padded chunks so jit compiles once; the per-frame ``M`` is the
+Only the bilateral kernel needs the N^2 matrix.  The spatial kernel
+exp(-(dx^2+dy^2)/2 gamma^2) is EXACTLY separable, so its message is a
+truncated separable Gaussian depthwise conv (taps span >= 8 gamma, where
+the Gaussian is < 1e-13 — exact at f32) — O(N*K) instead of O(N^2), no
+frame-shared matrix to build at all.  Frames are processed in fixed-size
+padded chunks so jit compiles once; the per-frame bilateral ``M`` is the
 only N^2 temporary (67 MB fp32 / 33 MB bf16 per frame in the chunk).
 """
 
@@ -83,18 +86,50 @@ def _normalized_kernel(feats: jnp.ndarray, weight, dtype) -> jnp.ndarray:
     return (weight * (n[:, None] * n[None, :]) * k).astype(dtype)
 
 
-def _mean_field_frame(img_u8, prob, spatial_m, w1, alpha, beta, xy, iters, dtype):
-    """One frame's exact mean-field: (N, 3) u8 image + (N, L) probs → (N,) u8."""
+def _sep_conv(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
+    """Separable depthwise 2-D convolution: (H, W, C) ⊛ outer(taps, taps)."""
+    c = x.shape[-1]
+    k = taps.shape[0]
+    dn = ("NHWC", "HWIO", "NHWC")
+    out = jax.lax.conv_general_dilated(
+        x[None], jnp.tile(taps.reshape(k, 1, 1, 1), (1, 1, 1, c)),
+        (1, 1), "SAME", dimension_numbers=dn, feature_group_count=c,
+    )
+    out = jax.lax.conv_general_dilated(
+        out, jnp.tile(taps.reshape(1, k, 1, 1), (1, 1, 1, c)),
+        (1, 1), "SAME", dimension_numbers=dn, feature_group_count=c,
+    )
+    return out[0]
+
+
+def _mean_field_frame(img_u8, prob, taps, w1, w2, alpha, beta, xy, h, w,
+                      iters, dtype):
+    """One frame's exact mean-field: (N, 3) u8 image + (N, L) probs → (N,) u8.
+
+    The bilateral half is the materialized N×N matrix; the spatial half
+    exploits structure the lattice can't: exp(-(dx²+dy²)/2γ²) is EXACTLY
+    separable, so its message is a truncated separable Gaussian depthwise
+    conv (taps span ≥8γ, where the Gaussian is < 1e-13 — exact to f32).
+    The conv includes the center tap (weight 1 = its own q), so the j != i
+    message subtracts it back out; same for the normalization rowsum.
+    """
     feats = jnp.concatenate(
         [xy / alpha, img_u8.astype(jnp.float32) / beta], axis=-1
     )  # (N, 5) bilateral features, densecrf.cpp order
-    m = _normalized_kernel(feats, w1, dtype) + spatial_m
+    mb = _normalized_kernel(feats, w1, dtype)
+
+    rowsum_s = _sep_conv(jnp.ones((h, w, 1)), taps).reshape(-1, 1) - 1.0
+    ns = jax.lax.rsqrt(rowsum_s + _EPS_NORM)  # (N, 1)
 
     unary = -jnp.log(jnp.maximum(prob, _EPS_PROB))
     q0 = jax.nn.softmax(-unary, axis=-1)
+    L = prob.shape[-1]
 
     def step(_, q):
-        msg = (m @ q.astype(dtype)).astype(jnp.float32)
+        msg = (mb @ q.astype(dtype)).astype(jnp.float32)
+        y = ns * q
+        sp = _sep_conv(y.reshape(h, w, L), taps).reshape(-1, L) - y
+        msg = msg + w2 * ns * sp
         return jax.nn.softmax(msg - unary, axis=-1)
 
     q = jax.lax.fori_loop(0, iters, step, q0)
@@ -107,8 +142,9 @@ def _mean_field_frame(img_u8, prob, spatial_m, w1, alpha, beta, xy, iters, dtype
 def _crf_chunk(
     imgs_u8: jnp.ndarray,   # (C, H*W, 3) uint8
     probs: jnp.ndarray,     # (C, H*W, L) float32
-    spatial_m: jnp.ndarray, # (H*W, H*W) shared normalized spatial kernel
+    taps: jnp.ndarray,      # (K,) spatial Gaussian taps (shared, frame-independent)
     w1: jnp.ndarray,
+    w2: jnp.ndarray,
     alpha: jnp.ndarray,
     beta: jnp.ndarray,
     *,
@@ -120,7 +156,8 @@ def _crf_chunk(
     xy = _coords(h, w)
     return jax.vmap(
         lambda im, p: _mean_field_frame(
-            im, p, spatial_m, w1, alpha, beta, xy, iters, jnp.dtype(compute_dtype)
+            im, p, taps, w1, w2, alpha, beta, xy, h, w, iters,
+            jnp.dtype(compute_dtype),
         )
     )(imgs_u8, probs)
 
@@ -131,8 +168,9 @@ def _crf_chunk(
 def _crf_chunk_from_masks(
     imgs_u8: jnp.ndarray,   # (C, H*W, 3) uint8
     masks_u8: jnp.ndarray,  # (C, H*W) uint8 0/1 threshold masks
-    spatial_m: jnp.ndarray,
+    taps: jnp.ndarray,
     w1: jnp.ndarray,
+    w2: jnp.ndarray,
     alpha: jnp.ndarray,
     beta: jnp.ndarray,
     *,
@@ -152,22 +190,19 @@ def _crf_chunk_from_masks(
         m = mk.astype(jnp.float32)
         prob = jnp.stack([1.0 - m, m], axis=-1)
         return _mean_field_frame(
-            im, prob, spatial_m, w1, alpha, beta, xy, iters,
+            im, prob, taps, w1, w2, alpha, beta, xy, h, w, iters,
             jnp.dtype(compute_dtype),
         )
 
     return jax.vmap(one)(imgs_u8, masks_u8)
 
 
-@functools.lru_cache(maxsize=8)
-def _spatial_kernel_cached(h: int, w: int, gamma: float, w2: float,
-                           compute_dtype: str):
-    """Shared spatial kernel — frame-independent, like the C++ batch path's
-    shared spatial lattice (densecrf.cpp::densecrf_batch)."""
-    xy = _coords(h, w)
-    return jax.jit(
-        lambda: _normalized_kernel(xy / gamma, w2, jnp.dtype(compute_dtype))
-    )()
+def _spatial_taps(gamma: float, h: int, w: int) -> np.ndarray:
+    """1-D taps of the separable spatial Gaussian, truncated where it is
+    numerically zero (≥ 8γ ⇒ < 1e-13 of the peak) and clamped to the frame."""
+    radius = min(int(np.ceil(8.0 * gamma)), max(h, w) - 1)
+    k = np.arange(-radius, radius + 1, dtype=np.float32)
+    return np.exp(-0.5 * (k / np.float32(gamma)) ** 2).astype(np.float32)
 
 
 def densecrf_device(
@@ -177,6 +212,7 @@ def densecrf_device(
     *,
     frame_chunk: int = 64,
     compute_dtype: str = "float32",
+    mesh=None,
 ) -> np.ndarray:
     """Batched exact dense CRF on the accelerator.
 
@@ -191,6 +227,8 @@ def densecrf_device(
         temporaries at ``frame_chunk * (H*W)^2`` elements.
       compute_dtype: dtype of the pairwise matrices and the message matmul
         ("float32" or "bfloat16"; unary/softmax always run fp32).
+      mesh: optional device mesh — chunks shard over the data axis (frames
+        are embarrassingly parallel, no collectives), params replicated.
 
     Returns:
       (N, H, W) uint8 argmax labels ((H, W) for a single frame).
@@ -205,23 +243,34 @@ def densecrf_device(
         raise ValueError(f"imgs shape {imgs.shape} does not match probs {probs.shape}")
     w1, alpha, beta, w2, gamma, iters = params
 
-    spatial_m = _spatial_kernel_cached(h, w, float(gamma), float(w2),
-                                       compute_dtype)
     out = _run_chunked(
         _crf_chunk, imgs.reshape(n, h * w, 3), probs.reshape(n, h * w, L),
-        spatial_m, params, h, w, frame_chunk, compute_dtype,
+        params, h, w, frame_chunk, compute_dtype, mesh=mesh,
     )
     out = out.reshape(n, h, w)
     return out[0] if single else out
 
 
-def _run_chunked(chunk_fn, flat_imgs, flat_second, spatial_m, params,
-                 h, w, frame_chunk, compute_dtype) -> np.ndarray:
+def _run_chunked(chunk_fn, flat_imgs, flat_second, params,
+                 h, w, frame_chunk, compute_dtype, mesh=None) -> np.ndarray:
     """Dispatch fixed-size padded chunks (one compile) and overlap the
-    device work of chunk i+1 with the host fetch of chunk i."""
-    w1, alpha, beta, _w2, _gamma, iters = params
+    device work of chunk i+1 with the host fetch of chunk i.  With a
+    ``mesh``, chunks are sharded over the data axis (frames are
+    embarrassingly parallel — no collectives) and the chunk size is rounded
+    up to a multiple of the mesh size."""
+    w1, alpha, beta, w2, gamma, iters = params
+    taps = _spatial_taps(float(gamma), h, w)
     n = len(flat_imgs)
     frame_chunk = min(frame_chunk, n)  # don't pad tiny corpora up to the chunk
+    if mesh is not None:
+        from critic_vae_tpu.parallel.mesh import replicate, shard_batch
+
+        frame_chunk += (-frame_chunk) % mesh.devices.size
+        taps = replicate(mesh, jnp.asarray(taps))
+        put = lambda a: shard_batch(mesh, a)
+    else:
+        taps = jnp.asarray(taps)
+        put = jnp.asarray
     out = np.empty((n, h * w), np.uint8)
     pending = []  # (start, valid, device segs)
     for i in range(0, n, frame_chunk):
@@ -233,8 +282,9 @@ def _run_chunked(chunk_fn, flat_imgs, flat_second, spatial_m, params,
             chunk_imgs = np.concatenate([chunk_imgs, np.repeat(chunk_imgs[-1:], pad, 0)])
             chunk_2nd = np.concatenate([chunk_2nd, np.repeat(chunk_2nd[-1:], pad, 0)])
         seg = chunk_fn(
-            jnp.asarray(chunk_imgs), jnp.asarray(chunk_2nd), spatial_m,
-            jnp.float32(w1), jnp.float32(alpha), jnp.float32(beta),
+            put(chunk_imgs), put(chunk_2nd), taps,
+            jnp.float32(w1), jnp.float32(w2),
+            jnp.float32(alpha), jnp.float32(beta),
             h=h, w=w, iters=int(iters), compute_dtype=compute_dtype,
         )
         pending.append((i, valid, seg))
@@ -254,6 +304,7 @@ def crf_param_search(
     *,
     frame_chunk: int = 64,
     compute_dtype: str = "float32",
+    mesh=None,
 ):
     """A real CRF hyperparameter search, on device.
 
@@ -268,10 +319,9 @@ def crf_param_search(
     host lattice it was minutes, which is presumably why the reference
     never ran one.
 
-    Combinations that differ only in (w1, alpha, beta) reuse the same
-    compiled program (they are traced scalars); each distinct ``iters``
-    compiles once, and each distinct (gamma, w2) rebuilds the shared
-    spatial kernel.
+    Combinations that differ only in (w1, w2, alpha, beta) reuse the same
+    compiled program (they are traced scalars); each distinct ``iters`` —
+    and each ``gamma`` whose truncated tap count differs — compiles once.
 
     Args:
       param_grid: dict of lists with keys w1/alpha/beta/w2/gamma/iters
@@ -297,7 +347,7 @@ def crf_param_search(
         params = tuple(c[k] for k in keys)
         refined = refine_masks_device(
             frames_u8, thr_masks, params,
-            frame_chunk=frame_chunk, compute_dtype=compute_dtype,
+            frame_chunk=frame_chunk, compute_dtype=compute_dtype, mesh=mesh,
         )
         union = np.sum(gt | refined)
         score = float(np.sum(gt & refined) / union) if union else 1.0
@@ -315,6 +365,7 @@ def refine_masks_device(
     *,
     frame_chunk: int = 64,
     compute_dtype: str = "float32",
+    mesh=None,
 ) -> np.ndarray:
     """Device-CRF counterpart of :func:`critic_vae_tpu.crf.refine_masks`
     (the reference ``crf()`` wrapper's probability construction,
@@ -326,12 +377,9 @@ def refine_masks_device(
         raise ValueError(
             f"thr_masks shape {thr_masks.shape} does not match frames {frames_u8.shape}"
         )
-    w1, alpha, beta, w2, gamma, iters = params
-    spatial_m = _spatial_kernel_cached(h, w_, float(gamma), float(w2),
-                                       compute_dtype)
     masks_u8 = np.ascontiguousarray(thr_masks, dtype=np.uint8).reshape(n, h * w_)
     out = _run_chunked(
         _crf_chunk_from_masks, frames_u8.reshape(n, h * w_, 3), masks_u8,
-        spatial_m, params, h, w_, frame_chunk, compute_dtype,
+        params, h, w_, frame_chunk, compute_dtype, mesh=mesh,
     )
     return out.reshape(n, h, w_).astype(bool)

@@ -41,15 +41,16 @@ from critic_vae_tpu.ops.mask import (
 DEFAULT_CRF_PARAMS = (22.0, 12.0, 3.1, 8.0, 1.8, 10)  # vae_utility.py:25-30
 
 
-def _refine(frames_u8, thr_masks, crf_params, backend: str, num_threads: int):
+def _refine(frames_u8, thr_masks, crf_params, backend: str, num_threads: int,
+            mesh=None):
     """Dispatch CRF refinement to the host C++ lattice or the on-device
     exact mean-field (``crf/device.py``). ``device`` computes the exact
     Gaussian model the lattice approximates and keeps the whole video
-    pipeline on the accelerator."""
+    pipeline on the accelerator (sharded over ``mesh`` when given)."""
     if backend == "device":
         from critic_vae_tpu.crf.device import refine_masks_device
 
-        return refine_masks_device(frames_u8, thr_masks, crf_params)
+        return refine_masks_device(frames_u8, thr_masks, crf_params, mesh=mesh)
     if backend != "host":
         raise ValueError(f"unknown crf backend {backend!r} (host|device)")
     from critic_vae_tpu.crf import refine_masks
@@ -160,7 +161,8 @@ def eval_episode(
 
     crf_masks = crf_iou_val = None
     if run_crf:
-        crf_masks = _refine(frames_u8, thr_masks, crf_params, crf_backend, num_threads)
+        crf_masks = _refine(frames_u8, thr_masks, crf_params, crf_backend,
+                            num_threads, mesh=mesh)
         if gt is not None:
             crf_iou_val = iou(gt, crf_masks)
 
@@ -214,7 +216,8 @@ def threshold_sweep(
     for ti, t in enumerate(thresholds):
         crf_iou_val = None
         if run_crf:
-            crf_masks = _refine(frames_u8, masks[ti], crf_params, crf_backend, num_threads)
+            crf_masks = _refine(frames_u8, masks[ti], crf_params, crf_backend,
+                                num_threads, mesh=mesh)
             crf_iou_val = iou(gt, crf_masks)
         results.append(
             {

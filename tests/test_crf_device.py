@@ -138,6 +138,17 @@ def test_param_search_is_independent_and_sorted(episode):
     )
 
 
+def test_mesh_sharded_equals_single_device(episode):
+    """CRF chunks sharded over the 8-device mesh are identical to
+    single-device (frames are embarrassingly parallel — SURVEY §2.3)."""
+    from critic_vae_tpu.parallel.mesh import make_mesh
+
+    frames, _, noisy = episode
+    single = refine_masks_device(frames, noisy, PARAMS)
+    sharded = refine_masks_device(frames, noisy, PARAMS, mesh=make_mesh(8))
+    np.testing.assert_array_equal(single, sharded)
+
+
 def test_pipeline_dispatch_device_backend(episode):
     from critic_vae_tpu.pipelines.video import _refine
 
