@@ -48,6 +48,7 @@ only N^2 temporary (67 MB fp32 / 33 MB bf16 per frame in the chunk).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -262,6 +263,12 @@ def _run_chunked(chunk_fn, flat_imgs, flat_second, params,
     taps = _spatial_taps(float(gamma), h, w)
     n = len(flat_imgs)
     frame_chunk = min(frame_chunk, n)  # don't pad tiny corpora up to the chunk
+    # Cap the chunk so the per-chunk N^2 bilateral matrices stay within a
+    # few GB of HBM: at 64x64 the default chunk of 64 is ~4.3 GB fp32, but
+    # N^2 grows with the 4th power of resolution (128x128 -> 1 GB/frame).
+    bytes_per_frame = (h * w) ** 2 * (2 if compute_dtype == "bfloat16" else 4)
+    mem_budget = int(os.environ.get("CRITIC_VAE_TPU_CRF_MEM", 6 * 1024**3))
+    frame_chunk = max(1, min(frame_chunk, mem_budget // bytes_per_frame))
     if mesh is not None:
         from critic_vae_tpu.parallel.mesh import replicate, shard_batch
 

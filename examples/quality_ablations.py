@@ -145,6 +145,35 @@ def main(out_dir="/tmp/cvt-ablations"):
         results[f"oracle_values_{scale}x"] = mask_from_diff(diff_o, maxv_o, ep_gt)
         print(f"    oracle_values_{scale}x: {results[f'oracle_values_{scale}x']}")
 
+        # --- 4. device-CRF hyperparameter search at the 1x point ----------
+        if scale == 1:
+            import jax.numpy as jnp
+
+            from critic_vae_tpu.crf.device import crf_param_search
+            from critic_vae_tpu.ops.mask import normalize_diffs, threshold_masks
+
+            print("[4] CRF param search (device backend, 27 combos)...")
+            diff_u8, _ = normalize_diffs(jnp.asarray(diff), jnp.asarray(maxv))
+            best_t = results["trained_1x"]["best_threshold"]
+            masks = np.asarray(
+                threshold_masks(diff_u8, jnp.asarray([best_t]))[0]
+            )
+            _, search = crf_param_search(
+                ep_frames, masks, ep_gt,
+                {"w1": [11.0, 22.0, 44.0],
+                 "beta": [3.1, 6.2, 12.4],
+                 "w2": [4.0, 8.0, 16.0]},
+            )
+            fixed = next(s for s, p in search
+                         if p == (22.0, 12.0, 3.1, 8.0, 1.8, 10))
+            results["crf_search_1x"] = {
+                "fixed_params_iou": round(fixed, 3),
+                "best_iou": round(search[0][0], 3),
+                "best_params": search[0][1],
+                "combos": len(search),
+            }
+            print(f"    crf_search_1x: {results['crf_search_1x']}")
+
     results["wall_seconds"] = round(time.time() - t0, 1)
     with open(os.path.join(out_dir, "ablations.json"), "w") as f:
         json.dump(results, f, indent=2)

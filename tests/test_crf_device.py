@@ -138,6 +138,16 @@ def test_param_search_is_independent_and_sorted(episode):
     )
 
 
+def test_memory_cap_shrinks_chunk_without_changing_results(episode, monkeypatch):
+    """A tight HBM budget forces chunk=1 dispatches; segmentations are
+    unchanged (chunking is pure batching)."""
+    frames, _, noisy = episode
+    ref = refine_masks_device(frames[:3], noisy[:3], PARAMS)
+    monkeypatch.setenv("CRITIC_VAE_TPU_CRF_MEM", str((64 * 64) ** 2 * 4))
+    capped = refine_masks_device(frames[:3], noisy[:3], PARAMS)
+    np.testing.assert_array_equal(ref, capped)
+
+
 def test_mesh_sharded_equals_single_device(episode):
     """CRF chunks sharded over the 8-device mesh are identical to
     single-device (frames are embarrassingly parallel — SURVEY §2.3)."""
