@@ -7,7 +7,9 @@ frames, recon@0 for low, both for mid — then train a fresh VAE on it.
 
 TPU-first: reconstructions are produced by batched double-decodes (the
 reference runs two batch-1 evaluates per frame); the artifact is a
-compressed ``.npz`` instead of a ~5 GB pickle (README.md:38).
+compressed ``.npz`` instead of a ~5 GB pickle (README.md:38). The
+reference's own pickle artifacts still load (numpy-only restricted
+unpickler), so existing ``-dataset`` outputs carry over.
 """
 
 from __future__ import annotations
@@ -66,6 +68,54 @@ def save_dataset(path: str, dataset: np.ndarray) -> None:
     np.savez_compressed(path, frames=dataset.astype(np.float32))
 
 
+_ALLOWED_PICKLE_GLOBALS = {
+    ("numpy.core.multiarray", "_reconstruct"),
+    ("numpy.core.multiarray", "scalar"),
+    ("numpy._core.multiarray", "_reconstruct"),  # numpy >= 2 module path
+    ("numpy._core.multiarray", "scalar"),
+    ("numpy", "ndarray"),
+    ("numpy", "dtype"),
+}
+
+
+class _NumpyOnlyUnpickler:
+    """Restricted unpickler for the reference's recon-dataset pickles:
+    only numpy array reconstruction globals resolve — anything else raises
+    instead of executing arbitrary code (same stance as io/legacy_pt.py)."""
+
+    def __new__(cls, file):
+        import importlib
+        import pickle
+
+        class Impl(pickle.Unpickler):
+            def find_class(self, module, name):
+                if (module, name) in _ALLOWED_PICKLE_GLOBALS:
+                    return getattr(importlib.import_module(module), name)
+                raise pickle.UnpicklingError(
+                    f"global {module}.{name} is forbidden in dataset pickles "
+                    "(only numpy arrays are expected)"
+                )
+
+        return Impl(file)
+
+
 def load_dataset(path: str) -> np.ndarray:
-    with np.load(path) as data:
-        return data["frames"]
+    """Load a recon dataset: our ``.npz`` artifact, or the reference's
+    pickle format — a list of (1, 3, 64, 64) float32 BCHW arrays
+    (reference: vae.py:135-136 pickles load_minerl_data(recon_dset=True)'s
+    output; its train() then np.stack(...).squeeze()es it, vae.py:35).
+    Either way returns (N, H, W, 3) float32 NHWC."""
+    import zipfile
+
+    if zipfile.is_zipfile(path):
+        with np.load(path) as data:
+            return data["frames"]
+    with open(path, "rb") as f:
+        dset = _NumpyOnlyUnpickler(f).load()
+    frames = np.stack([np.squeeze(np.asarray(a)) for a in dset])  # (N, 3, H, W)
+    if frames.ndim != 4 or frames.shape[1] != 3:
+        raise ValueError(
+            f"unrecognized dataset pickle layout {frames.shape}; expected a "
+            "list of (1, 3, H, W) frames (reference vae_utility.py:422-443)"
+        )
+    return np.ascontiguousarray(frames.transpose(0, 2, 3, 1).astype(np.float32))

@@ -268,3 +268,45 @@ def test_train_with_correct_msssim(critic_params):
     )
     assert int(state.step) == 2
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(state.params))
+
+
+def test_load_dataset_reference_pickle_layout(tmp_path):
+    """The reference's -dataset artifact — a pickled list of (1, 3, 64, 64)
+    float32 BCHW arrays (vae.py:135-136) — loads as (N, H, W, 3) NHWC."""
+    import pickle
+
+    import numpy as np
+
+    from critic_vae_tpu.pipelines.dataset import load_dataset, save_dataset
+
+    rng = np.random.default_rng(0)
+    bchw = [rng.random((1, 3, 64, 64)).astype(np.float32) for _ in range(5)]
+    pkl = tmp_path / "recon_dataset.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump(bchw, f)
+
+    frames = load_dataset(str(pkl))
+    assert frames.shape == (5, 64, 64, 3) and frames.dtype == np.float32
+    np.testing.assert_array_equal(frames[2], bchw[2][0].transpose(1, 2, 0))
+
+    # our own npz round-trips through the same loader
+    npz = tmp_path / "recon.npz"
+    save_dataset(str(npz), frames)
+    np.testing.assert_array_equal(load_dataset(str(npz)), frames)
+
+
+def test_load_dataset_pickle_rejects_non_numpy_globals(tmp_path):
+    """Dataset pickles are untrusted: anything beyond numpy array
+    reconstruction raises instead of executing (io/legacy_pt.py stance)."""
+    import pickle
+
+    import pytest
+
+    p = tmp_path / "evil.pkl"
+    with open(p, "wb") as f:
+        pickle.dump([{"not": "an array"}, object], f)  # `object` → builtins global
+
+    from critic_vae_tpu.pipelines.dataset import load_dataset
+
+    with pytest.raises(pickle.UnpicklingError):
+        load_dataset(str(p))
