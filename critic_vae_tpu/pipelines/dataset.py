@@ -78,25 +78,23 @@ _ALLOWED_PICKLE_GLOBALS = {
 }
 
 
-class _NumpyOnlyUnpickler:
+def _numpy_only_unpickler(file):
     """Restricted unpickler for the reference's recon-dataset pickles:
     only numpy array reconstruction globals resolve — anything else raises
     instead of executing arbitrary code (same stance as io/legacy_pt.py)."""
+    import importlib
+    import pickle
 
-    def __new__(cls, file):
-        import importlib
-        import pickle
+    class NumpyOnly(pickle.Unpickler):
+        def find_class(self, module, name):
+            if (module, name) in _ALLOWED_PICKLE_GLOBALS:
+                return getattr(importlib.import_module(module), name)
+            raise pickle.UnpicklingError(
+                f"global {module}.{name} is forbidden in dataset pickles "
+                "(only numpy arrays are expected)"
+            )
 
-        class Impl(pickle.Unpickler):
-            def find_class(self, module, name):
-                if (module, name) in _ALLOWED_PICKLE_GLOBALS:
-                    return getattr(importlib.import_module(module), name)
-                raise pickle.UnpicklingError(
-                    f"global {module}.{name} is forbidden in dataset pickles "
-                    "(only numpy arrays are expected)"
-                )
-
-        return Impl(file)
+    return NumpyOnly(file)
 
 
 def load_dataset(path: str) -> np.ndarray:
@@ -111,7 +109,7 @@ def load_dataset(path: str) -> np.ndarray:
         with np.load(path) as data:
             return data["frames"]
     with open(path, "rb") as f:
-        dset = _NumpyOnlyUnpickler(f).load()
+        dset = _numpy_only_unpickler(f).load()
     frames = np.stack([np.squeeze(np.asarray(a)) for a in dset])  # (N, 3, H, W)
     if frames.ndim != 4 or frames.shape[1] != 3:
         raise ValueError(
