@@ -102,6 +102,14 @@ def build_parser() -> argparse.ArgumentParser:
         "'device' = exact dense-CRF mean-field on the accelerator "
         "(MXU matmuls; no host bottleneck)",
     )
+    v.add_argument(
+        "--crf-search", nargs="?", const="", default=None, metavar="GRID",
+        help="run a real CRF hyperparameter search on the device backend "
+        "(the reference's grid scaffold is degenerate, vae_utility.py:25-30) "
+        "and refine with the best combination. Optional GRID like "
+        "'w1=11,22,44;beta=1.55,3.1;w2=4,8' (missing keys = reference "
+        "values; default grid spans w1/beta/w2 3x3x3)",
+    )
     v.add_argument("--no-gif", action="store_true")
     v.add_argument(
         "--no-slice", action="store_true",
@@ -322,10 +330,31 @@ def cmd_video(args) -> int:
     with profile_trace(args.profile):
         result = vid.eval_episode(
             vae_params, bn_state, critic_params, frames, gt,
-            threshold=args.threshold, run_crf=not args.no_crf,
+            threshold=args.threshold,
+            run_crf=not args.no_crf and args.crf_search is None,
             batch_size=args.batch_size, compute_dtype=args.dtype,
             mesh=mesh, crf_backend=args.crf_backend,
+            recons_u8=True,  # panels consume uint8; 4x less device fetch
         )
+
+    if args.crf_search is not None:
+        import dataclasses
+
+        from critic_vae_tpu.crf.device import crf_param_search
+        from critic_vae_tpu.ops.iou import iou as iou_fn
+
+        grid = _parse_crf_grid(args.crf_search)
+        print(f"searching CRF parameters ({'default grid' if not args.crf_search else args.crf_search})...")
+        best_masks, search = crf_param_search(
+            frames, result.thr_masks, gt, grid, mesh=mesh
+        )
+        for score, p in search:
+            print(f"  iou={score:.3f}  (w1={p[0]}, alpha={p[1]}, beta={p[2]}, "
+                  f"w2={p[3]}, gamma={p[4]}, iters={p[5]})")
+        result = dataclasses.replace(
+            result, crf_masks=best_masks, crf_iou=iou_fn(gt, best_masks)
+        )
+
     print(f"thr_iou={result.thr_iou}")
     print(f"crf_iou={result.crf_iou}")
 
@@ -344,6 +373,27 @@ def cmd_video(args) -> int:
         write_gif(strips, out)
         print(f"wrote {out}")
     return 0
+
+
+def _parse_crf_grid(spec: str) -> dict:
+    """Parse 'w1=11,22;beta=1.55,3.1' into a crf_param_search grid.
+    Empty spec = the default 3x3x3 exploration grid over (w1, beta, w2)."""
+    if not spec:
+        return {"w1": [11.0, 22.0, 44.0], "beta": [1.55, 3.1, 6.2],
+                "w2": [4.0, 8.0, 16.0]}
+    valid = {"w1", "alpha", "beta", "w2", "gamma", "iters"}
+    grid = {}
+    for part in spec.split(";"):
+        key, _, vals = part.partition("=")
+        key = key.strip()
+        if key not in valid or not vals:
+            raise SystemExit(
+                f"bad --crf-search component {part!r}; expected key=v1,v2,... "
+                f"with key in {sorted(valid)}"
+            )
+        cast = int if key == "iters" else float
+        grid[key] = [cast(v) for v in vals.split(",")]
+    return grid
 
 
 def cmd_dataset(args) -> int:

@@ -98,9 +98,30 @@ def normalize_diffs(
     Returns (diff_u8 (B, H, W) uint8, mean_max scalar).
     """
     mean_max = jnp.mean(max_values)
+    return normalize_diffs_given_mean(diffs, mean_max), mean_max
+
+
+def normalize_diffs_given_mean(diffs: jnp.ndarray, mean_max) -> jnp.ndarray:
+    """The elementwise half of :func:`normalize_diffs`, with the global
+    mean-max supplied — lets chunked pipelines normalize each device-resident
+    chunk in place after one tiny max-values fetch, instead of round-tripping
+    the full diff stack through the host. Bit-identical to normalize_diffs
+    on the same mean."""
     factor = jnp.where(mean_max != 0, 1.0 / jnp.where(mean_max == 0, 1.0, mean_max), 0.0)
     clamped = jnp.minimum(diffs, mean_max) * factor
-    return (clamped * 255.0).astype(jnp.uint8), mean_max
+    return (clamped * 255.0).astype(jnp.uint8)
+
+
+def quantize_recons(recon: jnp.ndarray) -> jnp.ndarray:
+    """Float reconstruction → uint8 on device, matching the reference's
+    truncating host cast ``(x*255).astype(np.uint8)`` exactly
+    (vae_utility.py:387: truncation toward zero, modulo-256 wrap for
+    negatives, non-finite → 0). Panels consume uint8 anyway, so quantizing
+    inside the jitted program cuts the recon fetch 4× — the dominant
+    device→host cost for panel-producing runs on tunneled/remote backends."""
+    scaled = recon.astype(jnp.float32) * 255.0
+    scaled = jnp.where(jnp.isfinite(scaled), scaled, 0.0)
+    return jnp.mod(jnp.trunc(scaled), 256.0).astype(jnp.uint8)
 
 
 def threshold_masks(diff_u8: jnp.ndarray, thresholds: jnp.ndarray) -> jnp.ndarray:
@@ -128,7 +149,9 @@ def iou_stacked(gt: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(union == 0, 1.0, tp / jnp.maximum(union, 1))
 
 
-@functools.partial(jax.jit, static_argnames=("with_recons", "compute_dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("with_recons", "compute_dtype", "recons_u8")
+)
 def episode_forward(
     vae_params,
     bn_state,
@@ -137,6 +160,7 @@ def episode_forward(
     *,
     with_recons: bool = True,
     compute_dtype: str = "float32",
+    recons_u8: bool = False,
 ):
     """Fused per-frame stage of the video pipeline: critic score + double
     decode + diff/greyscale/max, one XLA program over the whole frame batch
@@ -173,6 +197,10 @@ def episode_forward(
         "max_value": max_value.astype(jnp.float32),
     }
     if with_recons:
-        out["recon_one"] = recon_one.astype(jnp.float32)
-        out["recon_zero"] = recon_zero.astype(jnp.float32)
+        if recons_u8:
+            out["recon_one"] = quantize_recons(recon_one)
+            out["recon_zero"] = quantize_recons(recon_zero)
+        else:
+            out["recon_one"] = recon_one.astype(jnp.float32)
+            out["recon_zero"] = recon_zero.astype(jnp.float32)
     return out

@@ -33,10 +33,18 @@ import numpy as np
 from critic_vae_tpu.ops.iou import iou, iou_batch
 from critic_vae_tpu.ops.mask import (
     episode_forward,
-    iou_stacked,
-    normalize_diffs,
+    normalize_diffs_given_mean,
     threshold_masks,
 )
+
+
+@jax.jit
+def _normalize_threshold_chunk(diff, mean_max, thresholds):
+    """Per-chunk device pass: mean-max normalize to uint8 + threshold
+    compare ((T, B, H, W) for all thresholds at once), without the diff
+    stack ever visiting the host."""
+    u8 = normalize_diffs_given_mean(diff, mean_max)
+    return u8, threshold_masks(u8, thresholds)
 
 DEFAULT_CRF_PARAMS = (22.0, 12.0, 3.1, 8.0, 1.8, 10)  # vae_utility.py:25-30
 
@@ -73,8 +81,9 @@ class EpisodeResult:
 def episode_device_stage(
     vae_params, bn_state, critic_params, frames_f32: np.ndarray,
     batch_size: int = 512, *, with_recons: bool = True,
-    compute_dtype: str = "float32", mesh=None,
-) -> Dict[str, np.ndarray]:
+    compute_dtype: str = "float32", mesh=None, recons_u8: bool = False,
+    fetch: bool = True,
+):
     """Run the fused per-frame stage over the episode in padded chunks.
 
     Chunks are padded to a fixed batch so jit compiles exactly once
@@ -82,11 +91,22 @@ def episode_device_stage(
     the data axis and the same jitted program scales over every chip — the
     north star's streaming-video layout (frames sharded, params replicated,
     no collectives needed since the per-frame stage is embarrassingly data
-    parallel). Returns host arrays.
+    parallel).
 
     ``frames_f32`` may also be uint8: chunks then ship to the device raw
     (4× less host→device traffic — the dominant cost for streamed episodes)
     and normalize on device with identical results (see episode_forward).
+
+    ``recons_u8`` quantizes the reconstructions to uint8 inside the jitted
+    program (reference cast semantics, ops/mask.py::quantize_recons) — 4×
+    less device→host traffic for panel-producing runs.
+
+    Returns host arrays ``{key: (N, ...)}`` by default. With
+    ``fetch=False`` returns ``(chunks, valids)`` where ``chunks[key]`` is
+    the list of per-chunk DEVICE arrays (still padded) and ``valids`` the
+    per-chunk valid frame counts — callers can then run further device
+    passes (normalize/threshold) without round-tripping the diff stack
+    through the host.
     """
     from critic_vae_tpu.parallel.mesh import replicate, shard_batch
 
@@ -101,7 +121,8 @@ def episode_device_stage(
     keys = ("preds", "diff", "max_value") + (
         ("recon_one", "recon_zero") if with_recons else ()
     )
-    outs: Dict[str, List[np.ndarray]] = {k: [] for k in keys}
+    outs: Dict[str, List] = {k: [] for k in keys}
+    valids: List[int] = []
     for i in range(0, n, batch_size):
         chunk = frames_f32[i : i + batch_size]
         valid = len(chunk)
@@ -114,11 +135,19 @@ def episode_device_stage(
         res = episode_forward(
             vae_params, bn_state, critic_params, dev_chunk,
             with_recons=with_recons, compute_dtype=compute_dtype,
+            recons_u8=recons_u8,
         )
-        host = jax.device_get({k: res[k] for k in keys})
-        for k in keys:
-            outs[k].append(host[k][:valid])
-    return {k: np.concatenate(v, axis=0) for k, v in outs.items()}
+        valids.append(valid)
+        if fetch:
+            host = jax.device_get({k: res[k] for k in keys})
+            for k in keys:
+                outs[k].append(host[k][:valid])
+        else:
+            for k in keys:
+                outs[k].append(res[k])
+    if fetch:
+        return {k: np.concatenate(v, axis=0) for k, v in outs.items()}
+    return outs, valids
 
 
 def eval_episode(
@@ -136,8 +165,15 @@ def eval_episode(
     compute_dtype: str = "float32",
     mesh=None,
     crf_backend: str = "host",
+    recons_u8: bool = False,
 ) -> EpisodeResult:
     """Full mask pipeline over an episode (reference: eval_textured_frames).
+
+    The whole stage stays on device: chunks run the fused forward, the
+    global mean-max comes back as one tiny per-chunk fetch, and each
+    device-resident diff chunk is normalized + thresholded in place — the
+    only bulk device→host traffic is the uint8 diff maps, the boolean
+    masks, and (optionally uint8-quantized) reconstructions.
 
     Args:
       frames_u8: (N, H, W, 3) uint8 raw frames (the CRF consumes these raw,
@@ -146,16 +182,39 @@ def eval_episode(
       mesh: optional device mesh — each chunk is sharded along the data axis
         (params replicated), the north-star streaming-serving layout. Results
         are identical to single-device (SURVEY §2.3).
+      recons_u8: quantize reconstructions to uint8 on device (reference cast
+        semantics) — panels consume uint8 anyway; 4× less fetch.
     """
-    dev = episode_device_stage(
+    chunks, valids = episode_device_stage(
         vae_params, bn_state, critic_params, frames_u8, batch_size,
-        compute_dtype=compute_dtype, mesh=mesh,
+        compute_dtype=compute_dtype, mesh=mesh, recons_u8=recons_u8,
+        fetch=False,
     )
 
-    diff_u8, _ = normalize_diffs(jnp.asarray(dev["diff"]), jnp.asarray(dev["max_value"]))
-    thr = threshold_masks(diff_u8, jnp.asarray([threshold]))[0]
-    diff_u8 = np.asarray(diff_u8)
-    thr_masks = np.asarray(thr)
+    # Global two-pass normalization (vae_utility.py:106-110): only the tiny
+    # per-chunk max vectors come to the host; the mean is computed on device
+    # over the same trimmed f32 sequence as the unchunked path.
+    max_host = np.concatenate([
+        np.asarray(m)[:v] for m, v in zip(chunks["max_value"], valids)
+    ])
+    mean_max = jnp.mean(jnp.asarray(max_host))
+
+    t_arr = jnp.asarray([threshold])
+    diff_parts, thr_parts, pred_parts = [], [], []
+    rec1_parts, rec0_parts = [], []
+    for ci, valid in enumerate(valids):
+        u8, thr_c = _normalize_threshold_chunk(chunks["diff"][ci], mean_max, t_arr)
+        fetched = jax.device_get({
+            "u8": u8, "thr": thr_c[0], "preds": chunks["preds"][ci],
+            **({"r1": chunks["recon_one"][ci], "r0": chunks["recon_zero"][ci]}),
+        })
+        diff_parts.append(fetched["u8"][:valid])
+        thr_parts.append(fetched["thr"][:valid])
+        pred_parts.append(fetched["preds"][:valid])
+        rec1_parts.append(fetched["r1"][:valid])
+        rec0_parts.append(fetched["r0"][:valid])
+    diff_u8 = np.concatenate(diff_parts)
+    thr_masks = np.concatenate(thr_parts)
 
     thr_iou_val = iou(gt, thr_masks) if gt is not None else None
 
@@ -167,9 +226,9 @@ def eval_episode(
             crf_iou_val = iou(gt, crf_masks)
 
     return EpisodeResult(
-        preds=dev["preds"],
-        recon_one=dev["recon_one"],
-        recon_zero=dev["recon_zero"],
+        preds=np.concatenate(pred_parts),
+        recon_one=np.concatenate(rec1_parts),
+        recon_zero=np.concatenate(rec0_parts),
         diff_u8=diff_u8,
         thr_masks=thr_masks,
         crf_masks=crf_masks,
@@ -202,15 +261,22 @@ def threshold_sweep(
     threshold (its input mask differs). ``mesh`` shards the device stage
     over every chip, as in :func:`eval_episode`.
     """
-    dev = episode_device_stage(
+    chunks, valids = episode_device_stage(
         vae_params, bn_state, critic_params, frames_u8, batch_size,
-        with_recons=False, compute_dtype=compute_dtype, mesh=mesh,
+        with_recons=False, compute_dtype=compute_dtype, mesh=mesh, fetch=False,
     )
-    diff_u8, _ = normalize_diffs(jnp.asarray(dev["diff"]), jnp.asarray(dev["max_value"]))
+    max_host = np.concatenate([
+        np.asarray(m)[:v] for m, v in zip(chunks["max_value"], valids)
+    ])
+    mean_max = jnp.mean(jnp.asarray(max_host))
+
     t_arr = jnp.asarray(list(thresholds))
-    masks = threshold_masks(diff_u8, t_arr)  # (T, N, H, W)
-    thr_ious = np.asarray(iou_stacked(jnp.asarray(gt), masks))
-    masks = np.asarray(masks)
+    mask_parts = []
+    for ci, valid in enumerate(valids):
+        _, masks_c = _normalize_threshold_chunk(chunks["diff"][ci], mean_max, t_arr)
+        mask_parts.append(np.asarray(jax.device_get(masks_c))[:, :valid])
+    masks = np.concatenate(mask_parts, axis=1)  # (T, N, H, W)
+    thr_ious = [iou(gt, masks[ti]) for ti in range(len(masks))]
 
     results = []
     for ti, t in enumerate(thresholds):

@@ -77,6 +77,11 @@ def test_full_mode_matrix(workspace):
           "--batch-size", "8", "--no-slice", "--no-gif",
           "--crf-backend", "device"])
 
+    # CRF hyperparameter search through the CLI (tiny 2-combo grid)
+    _run(["video", *base, "--episode", os.path.join(workspace, "minerl-episode"),
+          "--batch-size", "8", "--no-slice", "--no-gif",
+          "--crf-search", "iters=2,5"])
+
     dset_path = os.path.join(workspace, "recon.npz")
     _run(["dataset", *base, "--source", "synthetic:1:32", "--out", dset_path,
           "--total-images", "32"])

@@ -143,3 +143,39 @@ def test_episode_forward_chunking_invariance(critic_params):
         np.testing.assert_allclose(
             chunked[k], np.asarray(whole[k]), atol=1e-5, err_msg=k
         )
+
+
+def test_quantize_recons_matches_reference_host_cast():
+    """Device uint8 quantization reproduces the reference's truncating
+    (x*255).astype(uint8) exactly, including negative wrap (tanh recons go
+    negative) and non-finite → 0 (vae_utility.py:387 semantics)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from critic_vae_tpu.ops.mask import quantize_recons
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1.0, 1.0, (4, 8, 8, 3)).astype(np.float32)
+    x[0, 0, 0, 0] = np.nan
+    x[0, 0, 1, 0] = np.inf
+
+    dev = np.asarray(quantize_recons(jnp.asarray(x)))
+    with np.errstate(invalid="ignore", over="ignore"):
+        host = (np.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0) * 255).astype(np.uint8)
+    np.testing.assert_array_equal(dev, host)
+
+
+def test_normalize_diffs_given_mean_matches_two_pass():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from critic_vae_tpu.ops.mask import normalize_diffs, normalize_diffs_given_mean
+
+    rng = np.random.default_rng(1)
+    diffs = jnp.asarray(rng.random((6, 8, 8)).astype(np.float32))
+    maxv = jnp.max(diffs, axis=(1, 2))
+    full, mean_max = normalize_diffs(diffs, maxv)
+    np.testing.assert_array_equal(
+        np.asarray(full),
+        np.asarray(normalize_diffs_given_mean(diffs, mean_max)),
+    )
