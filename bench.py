@@ -66,7 +66,6 @@ def main() -> None:
     vae_params, bn_state = init_vae_params(jax.random.key(0))
 
     frames_u8, _ = generate_frames(batch, seed=0)
-    frames = jnp.asarray(frames_u8.astype(np.float32) / 255.0)
     if ndev > 1:
         from critic_vae_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 
@@ -75,6 +74,8 @@ def main() -> None:
         bn_state = replicate(mesh, bn_state)
         critic_params = replicate(mesh, critic_params)
         frames = shard_batch(mesh, frames_u8.astype(np.float32) / 255.0)
+    else:
+        frames = jnp.asarray(frames_u8.astype(np.float32) / 255.0)
     thresholds = jnp.asarray(list(range(0, 130, 10)))
 
     @jax.jit

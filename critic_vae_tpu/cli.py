@@ -392,7 +392,13 @@ def _parse_crf_grid(spec: str) -> dict:
                 f"with key in {sorted(valid)}"
             )
         cast = int if key == "iters" else float
-        grid[key] = [cast(v) for v in vals.split(",")]
+        try:
+            grid[key] = [cast(v) for v in vals.split(",")]
+        except ValueError:
+            raise SystemExit(
+                f"bad --crf-search component {part!r}; values must be "
+                f"{'integers' if key == 'iters' else 'numbers'}"
+            )
     return grid
 
 

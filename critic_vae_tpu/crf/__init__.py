@@ -42,11 +42,29 @@ _FLAG_SETS = (
 _BASE_FLAGS = ["-fopenmp", "-shared", "-fPIC", "-std=c++17"]
 
 
+def _target_fingerprint(flags) -> bytes:
+    """The compiler's resolved target options for these flags. Folding this
+    into the cache key makes a cached -march=native artifact specific to the
+    microarchitecture it was built for — a stale .so from a different host
+    on a shared/migrated volume would load fine via CDLL and then die with
+    SIGILL at the first unsupported instruction, which the OSError rebuild
+    fallback below cannot catch."""
+    try:
+        out = subprocess.run(
+            ["g++", *flags, "-Q", "--help=target"],
+            capture_output=True, text=True, timeout=30,
+        )
+        return out.stdout.encode()
+    except Exception:
+        return b"unknown-target"
+
+
 def _compile() -> Path:
     src = _SRC.read_bytes()
     last_err = None
     for flags in _FLAG_SETS:
-        tag = hashlib.sha256(src + " ".join(flags).encode()).hexdigest()[:16]
+        key = src + " ".join(flags).encode() + _target_fingerprint(flags)
+        tag = hashlib.sha256(key).hexdigest()[:16]
         out = _build_dir() / f"libdensecrf-{tag}.so"
         if out.exists():
             return out
@@ -234,7 +252,8 @@ def crf_reference_scaffold(
         params = (c["w1"], c["alpha"], c["beta"], c["w2"], c["gamma"], c["iters"])
         refined = refine_masks(imgs_s, view[:, 0], params, num_threads)
         view[:, 0] = refined  # in-place: the next combo re-refines this
-        iou = float(np.sum(gt_s & refined) / np.sum(gt_s | refined))
+        union = np.sum(gt_s | refined)
+        iou = float(np.sum(gt_s & refined) / union) if union else 1.0  # 0/0 → 1
         results.append((iou, params))
     results.sort(key=lambda r: r[0])
     return mask >= 1, results

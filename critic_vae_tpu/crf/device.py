@@ -280,14 +280,18 @@ def _run_chunked(chunk_fn, flat_imgs, flat_second, params,
         put = jnp.asarray
     out = np.empty((n, h * w), np.uint8)
     pending = []  # (start, valid, device segs)
+    # inputs may already be device arrays (crf_param_search device-puts the
+    # corpus ONCE and reuses it across grid combinations) — pad/concat must
+    # then stay on device instead of round-tripping through numpy
+    xp = jnp if isinstance(flat_imgs, jax.Array) else np
     for i in range(0, n, frame_chunk):
         chunk_imgs = flat_imgs[i : i + frame_chunk]
         chunk_2nd = flat_second[i : i + frame_chunk]
         valid = len(chunk_imgs)
         if valid < frame_chunk:
             pad = frame_chunk - valid
-            chunk_imgs = np.concatenate([chunk_imgs, np.repeat(chunk_imgs[-1:], pad, 0)])
-            chunk_2nd = np.concatenate([chunk_2nd, np.repeat(chunk_2nd[-1:], pad, 0)])
+            chunk_imgs = xp.concatenate([chunk_imgs, xp.repeat(chunk_imgs[-1:], pad, 0)])
+            chunk_2nd = xp.concatenate([chunk_2nd, xp.repeat(chunk_2nd[-1:], pad, 0)])
         seg = chunk_fn(
             put(chunk_imgs), put(chunk_2nd), taps,
             jnp.float32(w1), jnp.float32(w2),
@@ -348,6 +352,11 @@ def crf_param_search(
     combos = [dict(zip(grid.keys(), v)) for v in itertools.product(*grid.values())]
 
     gt = np.asarray(gt, bool)
+    if mesh is None:  # ship the corpus ONCE; every combo reuses it in place
+        frames_u8 = jax.device_put(np.ascontiguousarray(frames_u8, dtype=np.uint8))
+        thr_masks = jax.device_put(
+            np.ascontiguousarray(thr_masks, dtype=np.uint8)
+        )
     results = []
     best = None
     for c in combos:
@@ -377,14 +386,21 @@ def refine_masks_device(
     """Device-CRF counterpart of :func:`critic_vae_tpu.crf.refine_masks`
     (the reference ``crf()`` wrapper's probability construction,
     vae_utility.py:36-38): classes are the stacked (1-mask, mask) planes,
-    built on device from the uint8 mask (see _crf_chunk_from_masks)."""
-    frames_u8 = np.ascontiguousarray(frames_u8, dtype=np.uint8)
+    built on device from the uint8 mask (see _crf_chunk_from_masks).
+
+    ``frames_u8``/``thr_masks`` may be device arrays (already uint8) —
+    they are then used in place with no host round-trip."""
+    if not isinstance(frames_u8, jax.Array):
+        frames_u8 = np.ascontiguousarray(frames_u8, dtype=np.uint8)
     n, h, w_, _ = frames_u8.shape
     if thr_masks.shape != (n, h, w_):
         raise ValueError(
             f"thr_masks shape {thr_masks.shape} does not match frames {frames_u8.shape}"
         )
-    masks_u8 = np.ascontiguousarray(thr_masks, dtype=np.uint8).reshape(n, h * w_)
+    if isinstance(thr_masks, jax.Array):
+        masks_u8 = thr_masks.astype(jnp.uint8).reshape(n, h * w_)
+    else:
+        masks_u8 = np.ascontiguousarray(thr_masks, dtype=np.uint8).reshape(n, h * w_)
     out = _run_chunked(
         _crf_chunk_from_masks, frames_u8.reshape(n, h * w_, 3), masks_u8,
         params, h, w_, frame_chunk, compute_dtype, mesh=mesh,

@@ -91,7 +91,9 @@ class _TensorStub:
         view = np.lib.stride_tricks.as_strided(
             data[self.offset :], shape=self.shape, strides=strides, writeable=False
         )
-        return np.ascontiguousarray(view)
+        # asarray(order="C"), NOT ascontiguousarray — the latter promotes
+        # 0-d tensors (torch scalars) to shape (1,).
+        return np.asarray(view, order="C")
 
 
 def _rebuild_tensor_v2(storage, offset, shape, stride, *_ignored):
@@ -265,7 +267,10 @@ def save_torch_pt(path: str, state_dict: Dict[str, np.ndarray]) -> None:
     """
     items = []
     for key, arr in state_dict.items():
-        arr = np.ascontiguousarray(arr)
+        # np.asarray(order="C"), NOT ascontiguousarray: the latter promotes
+        # 0-d arrays to shape (1,), which would silently reshape scalar
+        # tensors (e.g. BatchNorm num_batches_tracked) in the written file.
+        arr = np.asarray(arr, order="C")
         if arr.dtype not in _STORAGE_FOR_DTYPE:
             raise TypeError(f"{key!r}: no torch storage type for dtype {arr.dtype}")
         items.append((key, arr))

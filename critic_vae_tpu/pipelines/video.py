@@ -46,6 +46,19 @@ def _normalize_threshold_chunk(diff, mean_max, thresholds):
     u8 = normalize_diffs_given_mean(diff, mean_max)
     return u8, threshold_masks(u8, thresholds)
 
+
+@jax.jit
+def _sweep_chunk_stats(masks, gt):
+    """Per-chunk (tp, fn, fp) counts per threshold, on device — the sweep's
+    whole-stack IoUs then need no mask re-upload (ops/iou.py semantics:
+    int32 counts, f32 division, 0/0 → 1)."""
+    gt_b = gt[None].astype(bool)
+    m = masks.astype(bool)
+    tp = jnp.sum(gt_b & m, axis=(1, 2, 3))
+    fn = jnp.sum(gt_b & ~m, axis=(1, 2, 3))
+    fp = jnp.sum(~gt_b & m, axis=(1, 2, 3))
+    return tp, fn, fp
+
 DEFAULT_CRF_PARAMS = (22.0, 12.0, 3.1, 8.0, 1.8, 10)  # vae_utility.py:25-30
 
 
@@ -102,11 +115,13 @@ def episode_device_stage(
     less device→host traffic for panel-producing runs.
 
     Returns host arrays ``{key: (N, ...)}`` by default. With
-    ``fetch=False`` returns ``(chunks, valids)`` where ``chunks[key]`` is
-    the list of per-chunk DEVICE arrays (still padded) and ``valids`` the
-    per-chunk valid frame counts — callers can then run further device
-    passes (normalize/threshold) without round-tripping the diff stack
-    through the host.
+    ``fetch=False`` returns ``(host, diff_chunks, valids)``: everything
+    except the diff maps is still fetched and freed chunk by chunk
+    (bounding HBM residency — the reconstructions are by far the largest
+    tensors), but ``diff_chunks`` stays as per-chunk DEVICE arrays (still
+    padded; N·H·W·4 bytes total) so the caller's global mean-max
+    normalization pass can run on device without round-tripping the diff
+    stack through the host. ``valids`` holds per-chunk valid frame counts.
     """
     from critic_vae_tpu.parallel.mesh import replicate, shard_batch
 
@@ -118,10 +133,11 @@ def episode_device_stage(
         batch_size += (-batch_size) % mesh.devices.size
 
     n = len(frames_f32)
-    keys = ("preds", "diff", "max_value") + (
+    host_keys = ("preds", "max_value") + (
         ("recon_one", "recon_zero") if with_recons else ()
     )
-    outs: Dict[str, List] = {k: [] for k in keys}
+    outs: Dict[str, List] = {k: [] for k in host_keys}
+    diff_chunks: List = []
     valids: List[int] = []
     for i in range(0, n, batch_size):
         chunk = frames_f32[i : i + batch_size]
@@ -138,16 +154,18 @@ def episode_device_stage(
             recons_u8=recons_u8,
         )
         valids.append(valid)
+        host = jax.device_get({k: res[k] for k in host_keys})
+        for k in host_keys:
+            outs[k].append(host[k][:valid])
         if fetch:
-            host = jax.device_get({k: res[k] for k in keys})
-            for k in keys:
-                outs[k].append(host[k][:valid])
+            diff_chunks.append(jax.device_get(res["diff"])[:valid])
         else:
-            for k in keys:
-                outs[k].append(res[k])
+            diff_chunks.append(res["diff"])
+    host_out = {k: np.concatenate(v, axis=0) for k, v in outs.items()}
     if fetch:
-        return {k: np.concatenate(v, axis=0) for k, v in outs.items()}
-    return outs, valids
+        host_out["diff"] = np.concatenate(diff_chunks, axis=0)
+        return host_out
+    return host_out, diff_chunks, valids
 
 
 def eval_episode(
@@ -185,34 +203,24 @@ def eval_episode(
       recons_u8: quantize reconstructions to uint8 on device (reference cast
         semantics) — panels consume uint8 anyway; 4× less fetch.
     """
-    chunks, valids = episode_device_stage(
+    host, diff_chunks, valids = episode_device_stage(
         vae_params, bn_state, critic_params, frames_u8, batch_size,
         compute_dtype=compute_dtype, mesh=mesh, recons_u8=recons_u8,
         fetch=False,
     )
 
-    # Global two-pass normalization (vae_utility.py:106-110): only the tiny
-    # per-chunk max vectors come to the host; the mean is computed on device
-    # over the same trimmed f32 sequence as the unchunked path.
-    max_host = np.concatenate([
-        np.asarray(m)[:v] for m, v in zip(chunks["max_value"], valids)
-    ])
-    mean_max = jnp.mean(jnp.asarray(max_host))
+    # Global two-pass normalization (vae_utility.py:106-110): the mean is
+    # computed on device over the same trimmed f32 sequence as the
+    # unchunked path; only uint8 diffs and boolean masks come to the host.
+    mean_max = jnp.mean(jnp.asarray(host["max_value"]))
 
     t_arr = jnp.asarray([threshold])
-    diff_parts, thr_parts, pred_parts = [], [], []
-    rec1_parts, rec0_parts = [], []
+    diff_parts, thr_parts = [], []
     for ci, valid in enumerate(valids):
-        u8, thr_c = _normalize_threshold_chunk(chunks["diff"][ci], mean_max, t_arr)
-        fetched = jax.device_get({
-            "u8": u8, "thr": thr_c[0], "preds": chunks["preds"][ci],
-            **({"r1": chunks["recon_one"][ci], "r0": chunks["recon_zero"][ci]}),
-        })
+        u8, thr_c = _normalize_threshold_chunk(diff_chunks[ci], mean_max, t_arr)
+        fetched = jax.device_get({"u8": u8, "thr": thr_c[0]})
         diff_parts.append(fetched["u8"][:valid])
         thr_parts.append(fetched["thr"][:valid])
-        pred_parts.append(fetched["preds"][:valid])
-        rec1_parts.append(fetched["r1"][:valid])
-        rec0_parts.append(fetched["r0"][:valid])
     diff_u8 = np.concatenate(diff_parts)
     thr_masks = np.concatenate(thr_parts)
 
@@ -226,9 +234,9 @@ def eval_episode(
             crf_iou_val = iou(gt, crf_masks)
 
     return EpisodeResult(
-        preds=np.concatenate(pred_parts),
-        recon_one=np.concatenate(rec1_parts),
-        recon_zero=np.concatenate(rec0_parts),
+        preds=host["preds"],
+        recon_one=host["recon_one"],
+        recon_zero=host["recon_zero"],
         diff_u8=diff_u8,
         thr_masks=thr_masks,
         crf_masks=crf_masks,
@@ -261,22 +269,31 @@ def threshold_sweep(
     threshold (its input mask differs). ``mesh`` shards the device stage
     over every chip, as in :func:`eval_episode`.
     """
-    chunks, valids = episode_device_stage(
+    host, diff_chunks, valids = episode_device_stage(
         vae_params, bn_state, critic_params, frames_u8, batch_size,
         with_recons=False, compute_dtype=compute_dtype, mesh=mesh, fetch=False,
     )
-    max_host = np.concatenate([
-        np.asarray(m)[:v] for m, v in zip(chunks["max_value"], valids)
-    ])
-    mean_max = jnp.mean(jnp.asarray(max_host))
+    mean_max = jnp.mean(jnp.asarray(host["max_value"]))
 
     t_arr = jnp.asarray(list(thresholds))
     mask_parts = []
+    tp = fn = fp = 0
+    offset = 0
     for ci, valid in enumerate(valids):
-        _, masks_c = _normalize_threshold_chunk(chunks["diff"][ci], mean_max, t_arr)
-        mask_parts.append(np.asarray(jax.device_get(masks_c))[:, :valid])
+        _, masks_c = _normalize_threshold_chunk(diff_chunks[ci], mean_max, t_arr)
+        masks_v = masks_c[:, :valid]  # device slice; ≤2 shapes per episode
+        ctp, cfn, cfp = _sweep_chunk_stats(masks_v, jnp.asarray(gt[offset : offset + valid]))
+        st = jax.device_get({"m": masks_v, "tp": ctp, "fn": cfn, "fp": cfp})
+        mask_parts.append(st["m"])
+        tp, fn, fp = tp + st["tp"].astype(np.int64), fn + st["fn"].astype(np.int64), fp + st["fp"].astype(np.int64)
+        offset += valid
     masks = np.concatenate(mask_parts, axis=1)  # (T, N, H, W)
-    thr_ious = [iou(gt, masks[ti]) for ti in range(len(masks))]
+    # same precision path as ops.iou.iou: int32 counts, f32 division, round 3
+    tp_j = jnp.asarray(tp.astype(np.int32))
+    union_j = jnp.asarray((tp + fn + fp).astype(np.int32))
+    thr_ious = np.asarray(
+        jnp.where(union_j == 0, 1.0, tp_j / jnp.maximum(union_j, 1))
+    )
 
     results = []
     for ti, t in enumerate(thresholds):

@@ -123,3 +123,22 @@ def test_save_torch_pt_rejects_unsupported_dtype(tmp_path):
 
     with pytest.raises(TypeError):
         save_torch_pt(str(tmp_path / "x.pt"), {"c": np.zeros(2, np.complex64)})
+
+
+def test_scalar_tensor_shapes_round_trip(tmp_path):
+    """0-d tensors (torch scalars, e.g. BatchNorm num_batches_tracked) keep
+    their shape through write + both readers — np.ascontiguousarray would
+    silently promote them to (1,)."""
+    import numpy as np
+
+    from critic_vae_tpu.io.legacy_pt import load_torch_pt, save_torch_pt
+
+    path = str(tmp_path / "scalar.pt")
+    save_torch_pt(path, {"n": np.array(7, np.int64), "w": np.ones((2, 2), np.float32)})
+    out = load_torch_pt(path)
+    assert out["n"].shape == () and int(out["n"]) == 7
+    assert out["w"].shape == (2, 2)
+
+    torch = pytest.importorskip("torch")
+    t = torch.load(path, weights_only=True)
+    assert tuple(t["n"].shape) == () and int(t["n"]) == 7
