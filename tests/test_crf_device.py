@@ -86,6 +86,18 @@ def test_refinement_improves_noisy_masks(episode):
     assert iou(gt, refined) > iou(gt, noisy) + 0.2
 
 
+def test_non_square_frames_match_exact():
+    """H != W exercises the coordinate/reshape plumbing."""
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 256, (2, 12, 20, 3), np.uint8)
+    m = np.zeros((2, 12, 20), np.float32)
+    m[:, 3:8, 5:14] = 1.0
+    probs = np.stack([1 - m, m], -1)
+    dev = densecrf_device(imgs, probs, PARAMS)
+    ref = np.stack([_numpy_exact(imgs[i], probs[i], PARAMS) for i in range(2)])
+    np.testing.assert_array_equal(dev, ref)
+
+
 def test_single_frame_layout():
     img = np.zeros((16, 16, 3), np.uint8)
     prob = np.full((16, 16, 2), 0.5, np.float32)

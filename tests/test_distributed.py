@@ -29,7 +29,10 @@ from jax.experimental import multihost_utils
 g = multihost_utils.process_allgather(np.array([float(jax.process_index() + 1)]))
 assert float(g.sum()) == 3.0, g
 assert is_primary() == (int(sys.argv[1]) == 0)
-print("CHILD_OK", jax.process_index())
+# ONE atomic write: Gloo logs go straight to the fd and interleave between
+# the multiple write() calls print(a, b) makes on an unbuffered stdout
+sys.stdout.write(f"CHILD_OK {{jax.process_index()}}\\n")
+sys.stdout.flush()
 """
 
 
