@@ -304,6 +304,14 @@ def cmd_video(args) -> int:
         )
         return 1
     print(f"processing {len(frames)} frames...")
+    if gt is None:
+        if args.sweep or args.crf_search is not None:
+            print(
+                "error: the episode has no Y.npy ground truth — "
+                "--sweep/--crf-search need IoU scoring", file=sys.stderr,
+            )
+            return 1
+        print("no Y.npy ground truth: IoU scoring and bin_info are skipped")
 
     from critic_vae_tpu.utils.profiling import profile_trace
 
@@ -355,12 +363,13 @@ def cmd_video(args) -> int:
             result, crf_masks=best_masks, crf_iou=iou_fn(gt, best_masks)
         )
 
-    print(f"thr_iou={result.thr_iou}")
-    print(f"crf_iou={result.crf_iou}")
+    if gt is not None:
+        print(f"thr_iou={result.thr_iou}")
+        print(f"crf_iou={result.crf_iou}")
 
-    diag = vid.bin_diagnostics(result.preds, gt, result.thr_masks)
-    binfo = str(cfg.paths.resolve("bin_info_vae1.txt"))
-    vid.write_bin_info(diag, binfo, total_frames=len(frames))
+        diag = vid.bin_diagnostics(result.preds, gt, result.thr_masks)
+        binfo = str(cfg.paths.resolve("bin_info_vae1.txt"))
+        vid.write_bin_info(diag, binfo, total_frames=len(frames))
 
     if not args.no_gif:
         from critic_vae_tpu.viz.gif import write_gif

@@ -20,19 +20,27 @@ def load_episode(
     episode_dir: str,
     episode_slice: Tuple[int, int, int] | None = DEFAULT_SLICE,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Load an episode directory containing X.npy and Y.npy.
+    """Load an episode directory containing X.npy and (optionally) Y.npy.
 
     Returns:
       frames: (N, 64, 64, 3) uint8 RGB (raw, NOT normalized — the reference
         feeds raw uint8 frames to the CRF and normalized copies to the nets).
-      gt: (N, 64, 64) bool tree-trunk masks.
+      gt: (N, 64, 64) bool tree-trunk masks, or None when the episode ships
+        no Y.npy (unlabeled footage — beyond the reference, which assumes
+        ground truth exists, vae_utility.py:70-82; the pipeline then skips
+        IoU scoring and bin diagnostics).
     """
     frames = np.load(os.path.join(episode_dir, "X.npy"))
-    gt = np.all(np.load(os.path.join(episode_dir, "Y.npy")), axis=-1)
+    y_path = os.path.join(episode_dir, "Y.npy")
+    gt = np.all(np.load(y_path), axis=-1) if os.path.exists(y_path) else None
     if episode_slice is not None:
         s = slice(*episode_slice)
-        frames, gt = frames[s], gt[s]
-    return np.ascontiguousarray(frames), np.ascontiguousarray(gt)
+        frames = frames[s]
+        gt = gt[s] if gt is not None else None
+    return (
+        np.ascontiguousarray(frames),
+        np.ascontiguousarray(gt) if gt is not None else None,
+    )
 
 
 def normalize_frames(frames: np.ndarray) -> np.ndarray:

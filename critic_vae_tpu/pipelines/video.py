@@ -360,9 +360,11 @@ def write_bin_info(diag: Dict, out_path: str, total_frames: int) -> None:
 
 
 def compose_frames(
-    frames_u8: np.ndarray, result: EpisodeResult, gt: np.ndarray, threshold: int
+    frames_u8: np.ndarray, result: EpisodeResult, gt: Optional[np.ndarray],
+    threshold: int
 ) -> List:
-    """Render the 7-panel annotated strips (host, PIL)."""
+    """Render the annotated strips (host, PIL): 7 panels with ground truth,
+    the 4-panel layout without (unlabeled episodes)."""
     from critic_vae_tpu.viz.panels import final_frame
 
     out = []
@@ -375,7 +377,7 @@ def compose_frames(
                 result.recon_zero[i],
                 result.diff_u8[i],
                 result.preds[i],
-                gt=gt[i],
+                gt=gt[i] if gt is not None else None,
                 thr_mask=result.thr_masks[i],
                 crf_mask=crf[i],
                 thr_iou=result.thr_iou,

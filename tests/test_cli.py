@@ -124,3 +124,31 @@ def test_traincritic_cli(tmp_path, workspace):
 
     params = load_critic(out)
     assert params["conv0_w"].shape == (3, 3, 3, 8)
+
+
+@requires_reference
+def test_video_without_ground_truth(workspace, tmp_path):
+    """An episode with X.npy but no Y.npy runs the mask pipeline end-to-end
+    (4-panel strips, no IoU/bin_info) — unlabeled-footage support the
+    reference lacks (its loader assumes Y.npy, vae_utility.py:70-82)."""
+    import shutil as _sh
+
+    src = os.path.join(workspace, "minerl-episode")
+    nogt = str(tmp_path / "ep-nogt")
+    os.makedirs(nogt)
+    _sh.copy(os.path.join(src, "X.npy"), nogt)
+
+    critic = os.path.join(workspace, "saved-networks", os.path.basename(CRITIC_PT))
+    root = str(tmp_path)
+    base = ["--root", root, "--critic", critic]
+    _run(["train", *base, "--source", "synthetic:1:32", "--epochs", "1",
+          "--batch-size", "8", "--total-images", "32", "--no-resume"])
+
+    _run(["video", *base, "--episode", nogt, "--batch-size", "8",
+          "--no-slice", "--no-crf"])
+    assert not os.path.exists(os.path.join(root, "bin_info_vae1.txt"))
+    assert os.path.exists(os.path.join(root, "videos/video-threshold=50.gif"))
+
+    # sweep needs gt -> clean error
+    assert main(["video", *base, "--episode", nogt, "--batch-size", "8",
+                 "--no-slice", "--sweep"]) == 1
