@@ -67,22 +67,32 @@ def _coords(h: int, w: int, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.stack([x.reshape(-1), y.reshape(-1)], axis=-1)
 
 
-def _gaussian_gram(feats: jnp.ndarray, dtype) -> jnp.ndarray:
-    """exp(-1/2 ||f_i - f_j||^2) for i != j (0 on the diagonal — message
-    passing is over pixel pairs; see module docstring), as one Gram matmul:
-    (N, d) -> (N, N)."""
-    n = feats.shape[0]
+def _half_sqdist(feats: jnp.ndarray) -> jnp.ndarray:
+    """-1/2 ||f_i - f_j||^2 via one Gram matmul, clamped to <= 0 (float
+    error can push near-equal pairs slightly positive); exactly 0 at i = j
+    (the subtraction cancels bit-for-bit)."""
     sq = jnp.sum(feats * feats, axis=-1)
-    gram = feats @ feats.T  # MXU; d is small so this is cheap
-    logk = gram - 0.5 * (sq[:, None] + sq[None, :])
-    k = jnp.exp(jnp.minimum(logk, 0.0))
-    off_diag = jnp.arange(n)[:, None] != jnp.arange(n)[None, :]
-    return jnp.where(off_diag, k, 0.0).astype(dtype)
+    return jnp.minimum(feats @ feats.T - 0.5 * (sq[:, None] + sq[None, :]), 0.0)
 
 
-def _normalized_kernel(feats: jnp.ndarray, weight, dtype) -> jnp.ndarray:
-    """weight * (n n^T) . K with n = 1/sqrt(K @ 1 + eps), in ``dtype``."""
-    k = _gaussian_gram(feats, jnp.float32)
+def _normalized_kernel(pos: jnp.ndarray, extra, weight, dtype) -> jnp.ndarray:
+    """weight * (n n^T) ⊙ K for j != i, with n = 1/sqrt(K@1 + eps);
+    features are the concatenation of ``pos`` (scaled pixel coordinates)
+    and optional ``extra`` (scaled colors).
+
+    The diagonal is excluded by the data-dependent predicate
+    ``logk_pos < 0``: at i = j the Gram formulation cancels bit-for-bit,
+    while distinct pixels ALWAYS differ in position, so the positional
+    half-distance is strictly negative with margin (1px/scale)²/2 — and
+    because the predicate uses the position term alone (small magnitudes,
+    float error ~1e-6), large color features cannot blur the margin. An
+    explicit iota != mask would be an N×N compile-time constant that XLA
+    folds into a 16.7 MB literal at 64×64 (multi-minute compiles);
+    ``rowsum - 1`` would catastrophically cancel the tiny off-diagonal
+    rowsums of isolated pixels. The predicate avoids both."""
+    logp = _half_sqdist(pos)
+    logk = logp if extra is None else logp + _half_sqdist(extra)
+    k = jnp.where(logp < 0.0, jnp.exp(logk), 0.0)
     n = jax.lax.rsqrt(jnp.sum(k, axis=-1) + _EPS_NORM)
     return (weight * (n[:, None] * n[None, :]) * k).astype(dtype)
 
@@ -114,10 +124,10 @@ def _mean_field_frame(img_u8, prob, taps, w1, w2, alpha, beta, xy, h, w,
     The conv includes the center tap (weight 1 = its own q), so the j != i
     message subtracts it back out; same for the normalization rowsum.
     """
-    feats = jnp.concatenate(
-        [xy / alpha, img_u8.astype(jnp.float32) / beta], axis=-1
-    )  # (N, 5) bilateral features, densecrf.cpp order
-    mb = _normalized_kernel(feats, w1, dtype)
+    # bilateral features, densecrf.cpp order: (x,y)/alpha ++ rgb/beta
+    mb = _normalized_kernel(
+        xy / alpha, img_u8.astype(jnp.float32) / beta, w1, dtype
+    )
 
     rowsum_s = _sep_conv(jnp.ones((h, w, 1)), taps).reshape(-1, 1) - 1.0
     ns = jax.lax.rsqrt(rowsum_s + _EPS_NORM)  # (N, 1)
