@@ -63,6 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--no-resume", action="store_true")
     t.add_argument("--log-dir", default=None)
     t.add_argument(
+        "--log-images", action="store_true",
+        help="log an originals-vs-reconstructions probe strip to "
+        "TensorBoard every epoch (the reference's image_summary is dead "
+        "code, logger.py:17-28)",
+    )
+    t.add_argument(
         "--correct-msssim", action="store_true",
         help="train with textbook MS-SSIM instead of the reference's quirky "
         "variant (proper Gaussian window, standard scale weighting) — "
@@ -241,6 +247,7 @@ def cmd_train(args) -> int:
         log_dir=log_dir,
         checkpoint_dir=str(cfg.paths.resolve("checkpoints")),
         resume=not args.no_resume,
+        log_images=args.log_images,
     )
     enc = str(cfg.paths.resolve(cfg.paths.encoder_path))
     dec = str(cfg.paths.resolve(cfg.paths.decoder_path))

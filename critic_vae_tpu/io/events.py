@@ -142,6 +142,41 @@ class EventWriter:
         )
         self._write(ev)
 
+    def image(self, tag: str, img, step: int) -> None:
+        """Log an image (the reference's image_summary is commented out —
+        logger.py:17-28; this one works and renders in TB's Images tab).
+
+        ``img``: (H, W) or (H, W, 1|3|4), uint8 or float in [0, 1].
+        """
+        import io
+
+        import numpy as np
+        from PIL import Image as PILImage
+
+        arr = np.asarray(img)
+        if arr.dtype != np.uint8:
+            arr = (np.clip(arr, 0.0, 1.0) * 255).astype(np.uint8)
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        h, w, c = arr.shape
+        mode = {1: "L", 3: "RGB", 4: "RGBA"}[c]
+        pil = PILImage.fromarray(arr[..., 0] if c == 1 else arr, mode=mode)
+        buf = io.BytesIO()
+        pil.save(buf, format="PNG")
+        # Summary.Image proto: 1=height 2=width 3=colorspace
+        #                      4=encoded_image_string (PNG)
+        im = _field(1, 0) + _varint(h) + _field(2, 0) + _varint(w)
+        im += _field(3, 0) + _varint({1: 1, 3: 3, 4: 4}[c])
+        im += _bytes_field(4, buf.getvalue())
+        # Summary.Value: 1=tag 4=image
+        val = _bytes_field(1, tag.encode()) + _bytes_field(4, im)
+        ev = (
+            _field(1, 1) + struct.pack("<d", time.time())
+            + _field(2, 0) + _varint(step & 0xFFFFFFFFFFFFFFFF)
+            + _bytes_field(5, _bytes_field(1, val))
+        )
+        self._write(ev)
+
     def close(self) -> None:
         with self._lock:
             self._f.close()

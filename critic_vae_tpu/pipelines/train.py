@@ -53,6 +53,7 @@ def train(
     use_mesh: bool = True,
     initial_state: Optional[TrainState] = None,
     progress: bool = True,
+    log_images: bool = False,
 ) -> TrainState:
     """Train the VAE on (N, 64, 64, 3) frames — float in [0, 1] or uint8.
 
@@ -165,6 +166,11 @@ def train(
                         {k: float(v[row - first_row]) for k, v in host.items()},
                         row * batch_size + num_samples * ep,
                     )
+            if logger and log_images:
+                _log_probe_images(
+                    logger, state, critic_params, dataset,
+                    step=num_samples * (ep + 1),
+                )
             if progress:
                 imgs_done = num_samples * (ep + 1)
                 rate = (imgs_done - start_step * batch_size) / max(
@@ -189,6 +195,32 @@ def train(
                   "seed": seed},
         )
     return state
+
+
+@jax.jit
+def _probe_recon(params, bn_state, critic_params, x):
+    from critic_vae_tpu.models import vae as vae_mod
+    from critic_vae_tpu.models.critic import critic_apply
+
+    preds = critic_apply(critic_params, x)[:, 0]
+    mu, _, _ = vae_mod.encode(params, bn_state, x, train=False)
+    return vae_mod.decode(params, mu, preds)
+
+
+def _log_probe_images(logger, state, critic_params, dataset, step: int) -> None:
+    """Per-epoch visual: originals over reconstructions of a fixed probe
+    batch, logged to TB's Images tab (the reference's image_summary is dead
+    code — logger.py:17-28)."""
+    probe = dataset[:4]
+    if probe.dtype == np.uint8:
+        probe = probe.astype(np.float32) / 255.0
+    x = jnp.asarray(probe)
+    recon = np.asarray(_probe_recon(state.params, state.bn_state, critic_params, x))
+    strip = np.concatenate(
+        [np.concatenate(list(probe), axis=1), np.concatenate(list(recon), axis=1)],
+        axis=0,
+    )
+    logger.events.image("recon_probe", np.clip(strip, 0.0, 1.0), step=step)
 
 
 def _save_ckpt(

@@ -126,3 +126,41 @@ def test_histogram_readable_by_tensorboard(tmp_path):
     assert h.shape == (30, 3)
     assert h[:, 2].sum() == 1000  # total count
     assert h[0, 0] <= vals.min() + 1e-5  # f32 edge vs f64 min rounding
+
+
+def test_image_readable_by_tensorboard(tmp_path):
+    """The reference's image_summary is dead (commented out, logger.py:17-28);
+    ours writes a real Summary.Image that TB's loader decodes back to the
+    original pixels."""
+    tb = pytest.importorskip("tensorboard.backend.event_processing.event_file_loader")
+    d = str(tmp_path / "ilogs")
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 256, (16, 24, 3), np.uint8)
+    grey = rng.random((8, 8)).astype(np.float32)
+    with EventWriter(d) as w:
+        w.image("recon", rgb, step=3)
+        w.image("diff", grey, step=3)
+        path = w.path
+
+    events = list(tb.EventFileLoader(path).Load())
+    # the loader migrates old-style images to a DT_STRING tensor of
+    # [width, height, encoded_png] under the "images" plugin
+    images = {
+        v.tag: (e.step, v.tensor.string_val)
+        for e in events
+        for v in (e.summary.value if e.summary else [])
+        if v.metadata.plugin_data.plugin_name == "images"
+    }
+    assert set(images) == {"recon", "diff"}
+    import io
+
+    from PIL import Image as PILImage
+
+    step, (w_, h_, png) = images["recon"]
+    assert step == 3 and (w_, h_) == (b"24", b"16")
+    decoded = np.asarray(PILImage.open(io.BytesIO(png)))
+    np.testing.assert_array_equal(decoded, rgb)
+
+    _, (_, _, png_g) = images["diff"]
+    decoded_g = np.asarray(PILImage.open(io.BytesIO(png_g)))
+    np.testing.assert_array_equal(decoded_g, (np.clip(grey, 0, 1) * 255).astype(np.uint8))

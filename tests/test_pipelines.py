@@ -310,3 +310,29 @@ def test_load_dataset_pickle_rejects_non_numpy_globals(tmp_path):
 
     with pytest.raises(pickle.UnpicklingError):
         load_dataset(str(p))
+
+
+def test_train_log_images_writes_probe_strip(tmp_path, critic_params):
+    """--log-images logs an orig/recon probe strip per epoch, decodable by
+    TB's loader (the reference's image logging is dead code)."""
+    tb = pytest.importorskip("tensorboard.backend.event_processing.event_file_loader")
+    import numpy as np
+
+    from critic_vae_tpu.data.synthetic import generate_frames
+    from critic_vae_tpu.pipelines.train import train
+
+    frames, _ = generate_frames(32, seed=0)
+    d = str(tmp_path / "logs")
+    train(critic_params, frames, epochs=2, batch_size=8, log_dir=d,
+          checkpoint_dir=None, resume=False, progress=False, log_images=True)
+
+    import glob
+
+    path = glob.glob(os.path.join(d, "events.out.tfevents.*"))[0]
+    tags = [
+        (e.step, v.tag)
+        for e in tb.EventFileLoader(path).Load()
+        for v in (e.summary.value if e.summary else [])
+        if v.metadata.plugin_data.plugin_name == "images"
+    ]
+    assert tags == [(32, "recon_probe"), (64, "recon_probe")]
