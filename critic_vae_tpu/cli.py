@@ -484,8 +484,15 @@ def cmd_traincritic(args) -> int:
             return 1
         for d in dirs:
             f, g = load_episode(d, episode_slice=None)
+            if g is None:  # critic training needs labels
+                print(f"skipping {d}: no Y.npy ground truth", file=sys.stderr)
+                continue
             frames_list.append(f)
             gt_list.append(g)
+        if not frames_list:
+            print("error: no episode with Y.npy ground truth found — "
+                  "traincritic needs labeled frames", file=sys.stderr)
+            return 1
         frames = np.concatenate(frames_list)
         gt = np.concatenate(gt_list)
     else:

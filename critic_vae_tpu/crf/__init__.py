@@ -252,8 +252,8 @@ def crf_reference_scaffold(
         params = (c["w1"], c["alpha"], c["beta"], c["w2"], c["gamma"], c["iters"])
         refined = refine_masks(imgs_s, view[:, 0], params, num_threads)
         view[:, 0] = refined  # in-place: the next combo re-refines this
-        union = np.sum(gt_s | refined)
-        iou = float(np.sum(gt_s & refined) / union) if union else 1.0  # 0/0 → 1
-        results.append((iou, params))
+        from critic_vae_tpu.ops.iou import iou as iou_metric
+
+        results.append((iou_metric(gt_s, refined, round_digits=None), params))
     results.sort(key=lambda r: r[0])
     return mask >= 1, results

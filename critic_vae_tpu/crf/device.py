@@ -55,6 +55,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from critic_vae_tpu.ops.iou import iou as iou_metric
+
 _EPS_PROB = 1e-8  # matches densecrf.cpp unary clamp
 _EPS_NORM = 1e-20  # matches densecrf.cpp norm epsilon
 
@@ -70,9 +72,17 @@ def _coords(h: int, w: int, dtype=jnp.float32) -> jnp.ndarray:
 def _half_sqdist(feats: jnp.ndarray) -> jnp.ndarray:
     """-1/2 ||f_i - f_j||^2 via one Gram matmul, clamped to <= 0 (float
     error can push near-equal pairs slightly positive); exactly 0 at i = j
-    (the subtraction cancels bit-for-bit)."""
+    (the subtraction cancels bit-for-bit).
+
+    Precision.HIGHEST is load-bearing: the TPU MXU's default precision
+    rounds f32 operands to bf16 (~0.4% relative), which at these feature
+    magnitudes (squared color norms reach ~2e4) would corrupt logk by up
+    to ±80 AND break the exact diagonal cancellation the predicate in
+    _normalized_kernel relies on. The gram is a skinny (N, d<=3) matmul —
+    full precision costs well under a millisecond per frame."""
     sq = jnp.sum(feats * feats, axis=-1)
-    return jnp.minimum(feats @ feats.T - 0.5 * (sq[:, None] + sq[None, :]), 0.0)
+    gram = jnp.matmul(feats, feats.T, precision=jax.lax.Precision.HIGHEST)
+    return jnp.minimum(gram - 0.5 * (sq[:, None] + sq[None, :]), 0.0)
 
 
 def _normalized_kernel(pos: jnp.ndarray, extra, weight, dtype) -> jnp.ndarray:
@@ -292,16 +302,19 @@ def _run_chunked(chunk_fn, flat_imgs, flat_second, params,
     pending = []  # (start, valid, device segs)
     # inputs may already be device arrays (crf_param_search device-puts the
     # corpus ONCE and reuses it across grid combinations) — pad/concat must
-    # then stay on device instead of round-tripping through numpy
-    xp = jnp if isinstance(flat_imgs, jax.Array) else np
+    # then stay on device instead of round-tripping through numpy; each
+    # argument is host/device independently
+    def _pad(arr, pad):
+        xp = jnp if isinstance(arr, jax.Array) else np
+        return xp.concatenate([arr, xp.repeat(arr[-1:], pad, 0)])
+
     for i in range(0, n, frame_chunk):
         chunk_imgs = flat_imgs[i : i + frame_chunk]
         chunk_2nd = flat_second[i : i + frame_chunk]
         valid = len(chunk_imgs)
         if valid < frame_chunk:
-            pad = frame_chunk - valid
-            chunk_imgs = xp.concatenate([chunk_imgs, xp.repeat(chunk_imgs[-1:], pad, 0)])
-            chunk_2nd = xp.concatenate([chunk_2nd, xp.repeat(chunk_2nd[-1:], pad, 0)])
+            chunk_imgs = _pad(chunk_imgs, frame_chunk - valid)
+            chunk_2nd = _pad(chunk_2nd, frame_chunk - valid)
         seg = chunk_fn(
             put(chunk_imgs), put(chunk_2nd), taps,
             jnp.float32(w1), jnp.float32(w2),
@@ -375,8 +388,7 @@ def crf_param_search(
             frames_u8, thr_masks, params,
             frame_chunk=frame_chunk, compute_dtype=compute_dtype, mesh=mesh,
         )
-        union = np.sum(gt | refined)
-        score = float(np.sum(gt & refined) / union) if union else 1.0
+        score = iou_metric(gt, refined, round_digits=None)
         results.append((score, params))
         if best is None or score > best[0]:
             best = (score, refined)

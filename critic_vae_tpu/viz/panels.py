@@ -83,8 +83,12 @@ def final_frame(
     2-D for masks. With masks present → 7 panels, double height, titles row.
     """
     w = orig.shape[1]
-    with_masks = gt is not None
-    n_panels = 7 if with_masks else 4
+    # panel count keys on what exists: masks → 6 panels (+ gt → 7); the
+    # 4-panel layout is the image-eval mode (reference get_final_frame's
+    # `video` flag, vae_utility.py:286-322). Unlabeled episodes get their
+    # mask panels without a gt column.
+    with_masks = thr_mask is not None
+    n_panels = 4 + (3 if with_masks and gt is not None else 2 if with_masks else 0)
     ih = w if with_masks else 0
     canvas = Image.new("RGB", (w * n_panels, w * 2 if with_masks else w))
     draw = ImageDraw.Draw(canvas)
@@ -96,12 +100,13 @@ def final_frame(
     if with_masks:
         canvas.paste(_as_pil(np.asarray(thr_mask, np.uint8) * 255), (w * 4, ih))
         canvas.paste(_as_pil(np.asarray(crf_mask, np.uint8) * 255), (w * 5, ih))
-        canvas.paste(_as_pil(np.asarray(gt, np.uint8) * 255), (w * 6, ih))
-        for i, title in enumerate(TITLES):
+        if gt is not None:
+            canvas.paste(_as_pil(np.asarray(gt, np.uint8) * 255), (w * 6, ih))
+        for i, title in enumerate(TITLES[:n_panels]):
             text = title.format(thr=threshold)
-            if i == 4:
+            if i == 4 and thr_iou is not None:
                 text += f"\niou={thr_iou}"
-            elif i == 5:
+            elif i == 5 and crf_iou is not None:
                 text += f"\niou={crf_iou}"
             draw.text((w * i + 2, 0), text, (255, 255, 255), font=FONT)
     draw.text((2, ih + 2), f"{float(pred):.1f}", (255, 255, 255), font=FONT)

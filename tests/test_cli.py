@@ -147,7 +147,12 @@ def test_video_without_ground_truth(workspace, tmp_path):
     _run(["video", *base, "--episode", nogt, "--batch-size", "8",
           "--no-slice", "--no-crf"])
     assert not os.path.exists(os.path.join(root, "bin_info_vae1.txt"))
-    assert os.path.exists(os.path.join(root, "videos/video-threshold=50.gif"))
+    gif = os.path.join(root, "videos/video-threshold=50.gif")
+    from PIL import Image
+
+    with Image.open(gif) as im:
+        # 6-panel layout: masks rendered, no gt column
+        assert im.size == (64 * 6, 128)
 
     # sweep needs gt -> clean error
     assert main(["video", *base, "--episode", nogt, "--batch-size", "8",
