@@ -124,8 +124,9 @@ def _sep_conv(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
 
 
 def _mean_field_frame(img_u8, prob, taps, w1, w2, alpha, beta, xy, h, w,
-                      iters, dtype):
-    """One frame's exact mean-field: (N, 3) u8 image + (N, L) probs → (N,) u8.
+                      iters, dtype, soft=False):
+    """One frame's exact mean-field: (N, 3) u8 image + (N, L) probs →
+    (N,) u8 argmax labels, or the (N, L) f32 marginals Q with ``soft``.
 
     The bilateral half is the materialized N×N matrix; the spatial half
     exploits structure the lattice can't: exp(-(dx²+dy²)/2γ²) is EXACTLY
@@ -154,11 +155,13 @@ def _mean_field_frame(img_u8, prob, taps, w1, w2, alpha, beta, xy, h, w,
         return jax.nn.softmax(msg - unary, axis=-1)
 
     q = jax.lax.fori_loop(0, iters, step, q0)
+    if soft:
+        return q
     return jnp.argmax(q, axis=-1).astype(jnp.uint8)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("h", "w", "iters", "compute_dtype")
+    jax.jit, static_argnames=("h", "w", "iters", "compute_dtype", "soft")
 )
 def _crf_chunk(
     imgs_u8: jnp.ndarray,   # (C, H*W, 3) uint8
@@ -173,18 +176,19 @@ def _crf_chunk(
     w: int,
     iters: int,
     compute_dtype: str,
+    soft: bool = False,
 ) -> jnp.ndarray:
     xy = _coords(h, w)
     return jax.vmap(
         lambda im, p: _mean_field_frame(
             im, p, taps, w1, w2, alpha, beta, xy, h, w, iters,
-            jnp.dtype(compute_dtype),
+            jnp.dtype(compute_dtype), soft=soft,
         )
     )(imgs_u8, probs)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("h", "w", "iters", "compute_dtype")
+    jax.jit, static_argnames=("h", "w", "iters", "compute_dtype", "soft")
 )
 def _crf_chunk_from_masks(
     imgs_u8: jnp.ndarray,   # (C, H*W, 3) uint8
@@ -199,6 +203,7 @@ def _crf_chunk_from_masks(
     w: int,
     iters: int,
     compute_dtype: str,
+    soft: bool = False,
 ) -> jnp.ndarray:
     """Mask-refinement fast path: ships the binary mask as 1 byte/px and
     builds the (1-m, m) class probabilities on device (the reference
@@ -212,7 +217,7 @@ def _crf_chunk_from_masks(
         prob = jnp.stack([1.0 - m, m], axis=-1)
         return _mean_field_frame(
             im, prob, taps, w1, w2, alpha, beta, xy, h, w, iters,
-            jnp.dtype(compute_dtype),
+            jnp.dtype(compute_dtype), soft=soft,
         )
 
     return jax.vmap(one)(imgs_u8, masks_u8)
@@ -234,6 +239,7 @@ def densecrf_device(
     frame_chunk: int = 64,
     compute_dtype: str = "float32",
     mesh=None,
+    soft: bool = False,
 ) -> np.ndarray:
     """Batched exact dense CRF on the accelerator.
 
@@ -250,9 +256,13 @@ def densecrf_device(
         ("float32" or "bfloat16"; unary/softmax always run fp32).
       mesh: optional device mesh — chunks shard over the data axis (frames
         are embarrassingly parallel, no collectives), params replicated.
+      soft: return the mean-field marginals Q instead of argmax labels —
+        per-pixel CRF confidence maps, a capability the argmax-only C++
+        interface (and the reference's denseCRF) cannot expose.
 
     Returns:
-      (N, H, W) uint8 argmax labels ((H, W) for a single frame).
+      (N, H, W) uint8 argmax labels, or (N, H, W, L) float32 marginals with
+      ``soft`` (leading dim squeezed for a single frame).
     """
     single = probs.ndim == 3
     if single:
@@ -266,19 +276,21 @@ def densecrf_device(
 
     out = _run_chunked(
         _crf_chunk, imgs.reshape(n, h * w, 3), probs.reshape(n, h * w, L),
-        params, h, w, frame_chunk, compute_dtype, mesh=mesh,
+        params, h, w, frame_chunk, compute_dtype, mesh=mesh, soft=soft,
     )
-    out = out.reshape(n, h, w)
+    out = out.reshape((n, h, w, L) if soft else (n, h, w))
     return out[0] if single else out
 
 
 def _run_chunked(chunk_fn, flat_imgs, flat_second, params,
-                 h, w, frame_chunk, compute_dtype, mesh=None) -> np.ndarray:
+                 h, w, frame_chunk, compute_dtype, mesh=None,
+                 soft=False) -> np.ndarray:
     """Dispatch fixed-size padded chunks (one compile) and overlap the
     device work of chunk i+1 with the host fetch of chunk i.  With a
     ``mesh``, chunks are sharded over the data axis (frames are
     embarrassingly parallel — no collectives) and the chunk size is rounded
-    up to a multiple of the mesh size."""
+    up to a multiple of the mesh size.  ``soft`` collects (n, N, L) f32
+    marginals instead of (n, N) u8 argmax labels."""
     w1, alpha, beta, w2, gamma, iters = params
     taps = _spatial_taps(float(gamma), h, w)
     n = len(flat_imgs)
@@ -298,8 +310,16 @@ def _run_chunked(chunk_fn, flat_imgs, flat_second, params,
     else:
         taps = jnp.asarray(taps)
         put = jnp.asarray
-    out = np.empty((n, h * w), np.uint8)
+    out = None  # allocated from the first fetched chunk's shape/dtype
     pending = []  # (start, valid, device segs)
+
+    def _store(j, v, s):
+        nonlocal out
+        host = np.asarray(jax.device_get(s))
+        if out is None:
+            out = np.empty((n,) + host.shape[1:], host.dtype)
+        out[j : j + v] = host[:v]
+
     # inputs may already be device arrays (crf_param_search device-puts the
     # corpus ONCE and reuses it across grid combinations) — pad/concat must
     # then stay on device instead of round-tripping through numpy; each
@@ -320,13 +340,13 @@ def _run_chunked(chunk_fn, flat_imgs, flat_second, params,
             jnp.float32(w1), jnp.float32(w2),
             jnp.float32(alpha), jnp.float32(beta),
             h=h, w=w, iters=int(iters), compute_dtype=compute_dtype,
+            soft=soft,
         )
         pending.append((i, valid, seg))
         if len(pending) > 1:  # fetch the previous chunk while this one runs
-            j, v, s = pending.pop(0)
-            out[j : j + v] = np.asarray(jax.device_get(s))[:v]
-    for j, v, s in pending:
-        out[j : j + v] = np.asarray(jax.device_get(s))[:v]
+            _store(*pending.pop(0))
+    for item in pending:
+        _store(*item)
     return out
 
 

@@ -179,3 +179,20 @@ def test_pipeline_dispatch_device_backend(episode):
     np.testing.assert_array_equal(out, refine_masks_device(frames, noisy, PARAMS))
     with pytest.raises(ValueError):
         _refine(frames, noisy, PARAMS, "gpu", 0)
+
+
+def test_soft_marginals(episode):
+    """soft=True returns the mean-field marginals Q: valid distributions
+    whose argmax is exactly the hard segmentation (a capability the
+    argmax-only C++/reference interface cannot expose)."""
+    frames, _, noisy = episode
+    m = noisy[:2].astype(np.float32)
+    probs = np.stack([1 - m, m], -1)
+    q = densecrf_device(frames[:2], probs, PARAMS, soft=True)
+    hard = densecrf_device(frames[:2], probs, PARAMS)
+    assert q.shape == (2, 64, 64, 2) and q.dtype == np.float32
+    np.testing.assert_allclose(q.sum(-1), 1.0, atol=1e-5)
+    np.testing.assert_array_equal(q.argmax(-1).astype(np.uint8), hard)
+    # zero iterations -> the (clamped, renormalized) input distribution
+    q0 = densecrf_device(frames[:2], probs, (22, 12, 3.1, 8, 1.8, 0), soft=True)
+    np.testing.assert_allclose(q0, np.clip(probs, 1e-8, None), atol=1e-6)
