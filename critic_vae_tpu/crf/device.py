@@ -310,6 +310,10 @@ def _run_chunked(chunk_fn, flat_imgs, flat_second, params,
     else:
         taps = jnp.asarray(taps)
         put = jnp.asarray
+    if n == 0:
+        L = flat_second.shape[-1] if flat_second.ndim == 3 else 2
+        shape = (0, h * w, L) if soft else (0, h * w)
+        return np.empty(shape, np.float32 if soft else np.uint8)
     out = None  # allocated from the first fetched chunk's shape/dtype
     pending = []  # (start, valid, device segs)
 
