@@ -31,20 +31,43 @@ def _flatten(tree: Any) -> Dict[str, np.ndarray]:
             str(getattr(p, "key", getattr(p, "idx", getattr(p, "name", p))))
             for p in path
         )
+        if key in flat:
+            raise ValueError(
+                f"pytree flattens two distinct leaves to the same key {key!r} "
+                "('/'-joined paths collide) — rename the offending fields"
+            )
         if _is_prng_key(leaf):
             leaf = jax.random.key_data(leaf)  # typed PRNG key → raw uint32
-        flat[key] = np.asarray(leaf)
+        arr = np.asarray(leaf)
+        if arr.dtype.hasobject or arr.dtype.kind == "V":
+            # np.load would silently round-trip e.g. bfloat16 as a raw void
+            # ('|V2') array — refuse loudly instead (cast to f32 first)
+            raise TypeError(
+                f"leaf {key!r} has dtype {arr.dtype}, which .npz cannot "
+                "round-trip losslessly"
+            )
+        flat[key] = arr
     return flat
 
 
 def save_pytree(path: str, tree: Any) -> None:
-    """Atomically write a pytree of arrays to ``path`` (.npz)."""
+    """Atomically write a pytree of arrays to ``path`` (.npz).
+
+    The zip is written directly (np.load-compatible) rather than via
+    ``np.savez(f, **flat)``, whose kwargs would collide with its own
+    ``file`` parameter for a leaf named "file".
+    """
+    import zipfile
+
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     flat = _flatten(tree)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(os.path.abspath(path)), suffix=".tmp")
     try:
         with os.fdopen(fd, "wb") as f:
-            np.savez(f, **flat)
+            with zipfile.ZipFile(f, "w", zipfile.ZIP_STORED) as zf:
+                for key, arr in flat.items():
+                    with zf.open(f"{key}.npy", "w") as entry:
+                        np.lib.format.write_array(entry, arr)
         os.replace(tmp, path)
     except BaseException:
         if os.path.exists(tmp):
@@ -78,6 +101,12 @@ def load_pytree(path: str, like: Any) -> Any:
         if tuple(arr.shape) != tuple(expected):
             raise ValueError(
                 f"checkpoint leaf {key!r} has shape {arr.shape}, expected {expected}"
+            )
+        expected_dtype = getattr(leaf, "dtype", None)
+        if expected_dtype is not None and arr.dtype != expected_dtype:
+            raise ValueError(
+                f"checkpoint leaf {key!r} has dtype {arr.dtype}, "
+                f"expected {expected_dtype}"
             )
         new_leaves.append(arr)
     return jax.tree_util.tree_unflatten(treedef, new_leaves)

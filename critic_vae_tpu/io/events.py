@@ -93,7 +93,14 @@ class EventWriter:
 
     def __init__(self, log_dir: str):
         os.makedirs(log_dir, exist_ok=True)
-        fname = f"events.out.tfevents.{time.time():.0f}.{socket.gethostname()}"
+        # microsecond + pid suffix: two writers starting within the same
+        # wall-clock second (e.g. a quick crash-resume) must NOT share a
+        # file — interleaved TFRecord frames fail CRC and TensorBoard
+        # silently drops everything after the first bad record
+        fname = (
+            f"events.out.tfevents.{time.time():.6f}."
+            f"{socket.gethostname()}.{os.getpid()}"
+        )
         self._path = os.path.join(log_dir, fname)
         self._lock = threading.Lock()
         self._f = open(self._path, "ab")

@@ -152,19 +152,34 @@ def _materialize(obj: Any) -> Any:
     return obj
 
 
+def _load_meta(f: BinaryIO) -> Any:
+    """Unpickle primitive-only checkpoint metadata (magic / protocol /
+    sys_info / key_order). ANY global reference errors out — a code-bearing
+    pickle placed in a header position dies here, before validation, just
+    like the guarded object pickle (`_Unpickler`)."""
+
+    class NoGlobals(pickle.Unpickler):
+        def find_class(self, module, name):
+            raise pickle.UnpicklingError(
+                f"refusing global {module}.{name} in torch checkpoint metadata"
+            )
+
+    return NoGlobals(f, encoding="utf-8").load()
+
+
 def _load_legacy(f: BinaryIO) -> Any:
-    magic = pickle.load(f)
+    magic = _load_meta(f)
     if magic != _LEGACY_MAGIC:
         raise ValueError(f"bad legacy torch magic: {magic!r}")
-    protocol = pickle.load(f)
+    protocol = _load_meta(f)
     if protocol != _LEGACY_PROTOCOL:
         raise ValueError(f"unsupported legacy torch protocol: {protocol!r}")
-    pickle.load(f)  # sys_info — unused
+    _load_meta(f)  # sys_info — unused
 
     storages: Dict[str, _LazyStorage] = {}
     obj = _Unpickler(f, storages).load()
 
-    key_order = pickle.load(f)
+    key_order = _load_meta(f)
     for key in key_order:
         storage = storages[str(key)]
         (numel,) = struct.unpack("<q", f.read(8))
@@ -179,7 +194,14 @@ def _load_legacy(f: BinaryIO) -> Any:
 def _load_zip(f: BinaryIO) -> Any:
     with zipfile.ZipFile(f) as zf:
         names = zf.namelist()
-        pkl_name = next(n for n in names if n.endswith("/data.pkl") or n == "data.pkl")
+        pkl_name = next(
+            (n for n in names if n.endswith("/data.pkl") or n == "data.pkl"), None
+        )
+        if pkl_name is None:
+            raise ValueError(
+                "not a torch zipfile checkpoint: no data.pkl entry "
+                f"(contents: {names[:5]}...)"
+            )
         prefix = pkl_name[: -len("data.pkl")]
         storages: Dict[str, _LazyStorage] = {}
         with zf.open(pkl_name) as pf:

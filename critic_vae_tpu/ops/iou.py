@@ -1,8 +1,13 @@
-"""IoU metric over boolean masks (reference: vae_utility.py:56-68)."""
+"""IoU metric over boolean masks (reference: vae_utility.py:56-68).
+
+Pure numpy on purpose: the inputs are host mask stacks (the pipelines fetch
+masks before scoring), the reference computes in numpy float64, and shipping
+two (N, 64, 64) bool stacks to a tunneled device for one boolean reduction
+costs seconds that np.sum does in milliseconds.
+"""
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
 
 
@@ -14,18 +19,18 @@ def iou(gt, pred, *, round_digits: int | None = 3) -> float:
     decimals. Called both over whole frame stacks (the headline metric,
     vae_utility.py:184,191) and per frame (bin diagnostics).
     """
-    gt = jnp.asarray(gt, bool)
-    pred = jnp.asarray(pred, bool)
-    tp = jnp.sum(gt & pred)
-    union = tp + jnp.sum(gt & ~pred) + jnp.sum(~gt & pred)
-    val = float(jnp.where(union == 0, 1.0, tp / jnp.maximum(union, 1)))
+    gt = np.asarray(gt, bool)
+    pred = np.asarray(pred, bool)
+    tp = int(np.sum(gt & pred))
+    union = tp + int(np.sum(gt & ~pred)) + int(np.sum(~gt & pred))
+    val = 1.0 if union == 0 else tp / union
     return round(val, round_digits) if round_digits is not None else val
 
 
 def iou_batch(gt, pred) -> np.ndarray:
     """Per-frame IoU over leading axis (vectorized bin-diagnostics helper)."""
-    gt = jnp.asarray(gt, bool).reshape(gt.shape[0], -1)
-    pred = jnp.asarray(pred, bool).reshape(pred.shape[0], -1)
-    tp = jnp.sum(gt & pred, axis=1)
-    union = tp + jnp.sum(gt & ~pred, axis=1) + jnp.sum(~gt & pred, axis=1)
-    return np.asarray(jnp.where(union == 0, 1.0, tp / jnp.maximum(union, 1)))
+    gt = np.asarray(gt, bool).reshape(gt.shape[0], -1)
+    pred = np.asarray(pred, bool).reshape(pred.shape[0], -1)
+    tp = np.sum(gt & pred, axis=1)
+    union = tp + np.sum(gt & ~pred, axis=1) + np.sum(~gt & pred, axis=1)
+    return np.where(union == 0, 1.0, tp / np.maximum(union, 1))

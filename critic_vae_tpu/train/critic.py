@@ -15,6 +15,7 @@ BCE + Adam), batches gathered on device from an HBM-resident dataset under
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -99,9 +100,8 @@ def train_critic(
         raise ValueError(f"{n} frames < one batch ({batch_size})")
 
     params = init_critic_params(jax.random.key(seed))
-    tx = optax.adam(learning_rate)
+    tx, multi_step = _cached_multi_step(float(learning_rate), float(dropout_rate))
     carry = (params, tx.init(params), jax.random.key(seed + 1))
-    multi_step = make_critic_multi_step(tx, dropout_rate=dropout_rate)
 
     dataset_dev = jnp.asarray(frames)
     labels_dev = jnp.asarray(labels)
@@ -117,6 +117,15 @@ def train_critic(
     if progress:
         print()
     return jax.device_get(carry[0]), loss
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_multi_step(learning_rate: float, dropout_rate: float):
+    """One jitted scan driver per (lr, dropout): repeated train_critic calls
+    (e.g. the ablation sweep) reuse the traced program instead of building a
+    fresh closure — and a fresh trace/compile — every invocation."""
+    tx = optax.adam(learning_rate)
+    return tx, make_critic_multi_step(tx, dropout_rate=dropout_rate)
 
 
 def critic_accuracy(params, frames: np.ndarray, labels: np.ndarray,

@@ -164,3 +164,42 @@ def test_image_readable_by_tensorboard(tmp_path):
     _, (_, _, png_g) = images["diff"]
     decoded_g = np.asarray(PILImage.open(io.BytesIO(png_g)))
     np.testing.assert_array_equal(decoded_g, (np.clip(grey, 0, 1) * 255).astype(np.uint8))
+
+
+def test_save_pytree_handles_file_key_and_rejects_collisions(tmp_path):
+    """A leaf named 'file' must not collide with np.savez's own parameter,
+    and two distinct leaves flattening to one '/'-path must raise instead
+    of silently overwriting."""
+    from critic_vae_tpu.io.checkpoint import load_pytree, save_pytree
+
+    p = str(tmp_path / "f.npz")
+    tree = {"file": np.arange(3, dtype=np.float32), "a": {"b": np.ones(2, np.float32)}}
+    save_pytree(p, tree)
+    out = load_pytree(p, tree)
+    np.testing.assert_array_equal(out["file"], tree["file"])
+
+    with pytest.raises(ValueError, match="same key"):
+        save_pytree(str(tmp_path / "c.npz"), {"a": {"b": np.ones(1)}, "a/b": np.ones(1)})
+
+
+def test_save_pytree_rejects_lossy_dtypes_and_load_checks_dtype(tmp_path):
+    """bfloat16 leaves silently round-trip through .npz as raw void arrays —
+    refuse at save; and a dtype drift between checkpoint and template is a
+    loud error at load."""
+    import jax.numpy as jnp
+
+    from critic_vae_tpu.io.checkpoint import load_pytree, save_pytree
+
+    with pytest.raises(TypeError, match="round-trip"):
+        save_pytree(str(tmp_path / "bf.npz"), {"w": np.asarray(jnp.ones(2, jnp.bfloat16))})
+
+    p = str(tmp_path / "d.npz")
+    save_pytree(p, {"w": np.ones(2, np.float32)})
+    with pytest.raises(ValueError, match="dtype"):
+        load_pytree(p, {"w": np.ones(2, np.float64)})
+
+
+def test_event_filenames_are_unique_per_writer(tmp_path):
+    d = str(tmp_path / "logs")
+    with EventWriter(d) as a, EventWriter(d) as b:
+        assert a.path != b.path

@@ -142,3 +142,31 @@ def test_scalar_tensor_shapes_round_trip(tmp_path):
     torch = pytest.importorskip("torch")
     t = torch.load(path, weights_only=True)
     assert tuple(t["n"].shape) == () and int(t["n"]) == 7
+
+
+def test_header_pickles_are_also_restricted(tmp_path):
+    """A code-bearing pickle in a HEADER position (magic/protocol/sys_info/
+    key_order) must die in the restricted unpickler, not execute — the main
+    object pickle was always guarded; the headers must be too."""
+    import pickle as _pickle
+
+    evil = tmp_path / "evil_legacy.pt"
+    with open(evil, "wb") as f:
+        # first header slot: a pickle that would call os.system on load
+        f.write(
+            b"\x80\x02cos\nsystem\nq\x00X\x04\x00\x00\x00trueq\x01\x85q\x02Rq\x03."
+        )
+    with pytest.raises(_pickle.UnpicklingError, match="refusing global"):
+        load_torch_pt(str(evil))
+
+
+def test_zip_without_data_pkl_raises_cleanly(tmp_path):
+    """A valid zip that is not a torch checkpoint gets a descriptive
+    ValueError, not a bare StopIteration."""
+    import zipfile as _zipfile
+
+    p = tmp_path / "notatorch.zip"
+    with _zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("something.txt", "hello")
+    with pytest.raises(ValueError, match="no data.pkl"):
+        load_torch_pt(str(p))
