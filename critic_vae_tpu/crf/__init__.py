@@ -19,6 +19,12 @@ from typing import Optional
 import numpy as np
 
 _SRC = Path(__file__).parent / "densecrf.cpp"
+
+# The reference's fixed CRF parameter tuple (w1, alpha, beta, w2, gamma,
+# iters) — vae_utility.py:25-30. The ONE definition every default in the
+# framework derives from (host refine, device refine, video pipeline,
+# search grids).
+REFERENCE_CRF_PARAMS = (22.0, 12.0, 3.1, 8.0, 1.8, 10)
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
 
@@ -169,7 +175,7 @@ def densecrf_batch(
 def refine_masks(
     frames_u8: np.ndarray,
     thr_masks: np.ndarray,
-    params=(22.0, 12.0, 3.1, 8.0, 1.8, 10),
+    params=REFERENCE_CRF_PARAMS,
     num_threads: int = 0,
 ) -> np.ndarray:
     """CRF-refine binary threshold masks against their RGB frames.
@@ -192,8 +198,9 @@ def refine_masks(
 
 
 DEFAULT_PARAM_GRID = {
-    "w1": [22.0], "alpha": [12.0], "beta": [3.1],
-    "w2": [8.0], "gamma": [1.8], "iters": [10],
+    k: [v] for k, v in zip(
+        ("w1", "alpha", "beta", "w2", "gamma", "iters"), REFERENCE_CRF_PARAMS
+    )
 }  # the reference's (degenerate, 1-combination) grid, vae_utility.py:25-30
 
 

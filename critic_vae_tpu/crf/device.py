@@ -55,6 +55,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from critic_vae_tpu.crf import DEFAULT_PARAM_GRID, REFERENCE_CRF_PARAMS
 from critic_vae_tpu.ops.iou import iou as iou_metric
 
 _EPS_PROB = 1e-8  # matches densecrf.cpp unary clamp
@@ -392,13 +393,23 @@ def crf_param_search(
     """
     import itertools
 
-    defaults = {"w1": [22.0], "alpha": [12.0], "beta": [3.1],
-                "w2": [8.0], "gamma": [1.8], "iters": [10]}
-    grid = {**defaults, **(param_grid or {})}
     keys = ("w1", "alpha", "beta", "w2", "gamma", "iters")
+    if param_grid:
+        bad = set(param_grid) - set(keys)
+        if bad:
+            raise ValueError(
+                f"unknown CRF grid key(s) {sorted(bad)}; valid: {list(keys)}"
+            )
+        empty = [k for k, v in param_grid.items() if not v]
+        if empty:
+            raise ValueError(f"CRF grid key(s) {empty} have no values")
+    grid = {**DEFAULT_PARAM_GRID, **(param_grid or {})}
     combos = [dict(zip(grid.keys(), v)) for v in itertools.product(*grid.values())]
 
     gt = np.asarray(gt, bool)
+    # With a mesh the corpus is re-sharded per combo (shard layouts are
+    # chunk-shaped, so a whole-corpus pre-put wouldn't match) — acceptable
+    # because mesh searches amortize the upload over n_devices× the compute.
     if mesh is None:  # ship the corpus ONCE; every combo reuses it in place
         frames_u8 = jax.device_put(np.ascontiguousarray(frames_u8, dtype=np.uint8))
         thr_masks = jax.device_put(
@@ -423,7 +434,7 @@ def crf_param_search(
 def refine_masks_device(
     frames_u8: np.ndarray,
     thr_masks: np.ndarray,
-    params=(22.0, 12.0, 3.1, 8.0, 1.8, 10),
+    params=REFERENCE_CRF_PARAMS,
     *,
     frame_chunk: int = 64,
     compute_dtype: str = "float32",

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Callable, Iterable, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -28,15 +29,33 @@ BinThresholds = Tuple[float, float, float, float]  # (low_max, mid_lo, mid_hi, h
 DEFAULT_THRESHOLDS: BinThresholds = (0.25, 0.4, 0.6, 0.7)
 
 
+@jax.jit
+def _score_chunk(critic_params, chunk):
+    return critic_apply(critic_params, chunk)[:, 0]
+
+
 def score_frames(
     critic_params, frames_f32: np.ndarray, batch_size: int = 1024
 ) -> np.ndarray:
-    """Critic scores for (N, 64, 64, 3) float frames, batched on device."""
+    """Critic scores for (N, 64, 64, 3) float frames, batched on device.
+
+    One jitted program per batch shape: eager critic_apply would dispatch
+    ~18 individual remote ops per chunk (the per-dispatch overhead CLAUDE.md
+    documents); ragged tails are padded so every trajectory reuses the same
+    compiled shape."""
+    n = len(frames_f32)
+    if n == 0:
+        return np.zeros((0,), np.float32)
     preds = []
-    for i in range(0, len(frames_f32), batch_size):
-        chunk = jnp.asarray(frames_f32[i : i + batch_size])
-        preds.append(np.asarray(critic_apply(critic_params, chunk))[:, 0])
-    return np.concatenate(preds) if preds else np.zeros((0,), np.float32)
+    for i in range(0, n, batch_size):
+        chunk = frames_f32[i : i + batch_size]
+        valid = len(chunk)
+        if valid < batch_size and n > batch_size:
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], batch_size - valid, axis=0)]
+            )
+        preds.append(np.asarray(_score_chunk(critic_params, jnp.asarray(chunk)))[:valid])
+    return np.concatenate(preds)
 
 
 def select_balanced(

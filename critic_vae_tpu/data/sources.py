@@ -33,14 +33,27 @@ def npy_trajectories(root: str) -> Iterator[Trajectory]:
     """
     paths = sorted(glob.glob(os.path.join(root, "*.npy")))
     paths += sorted(glob.glob(os.path.join(root, "*", "X.npy")))
+    # an episode directory's Y.npy is ground-truth MASKS, not frames — at
+    # (N, 64, 64, 3) uint8 it would pass the shape filter and silently
+    # pollute the training set with near-black mask images
+    paths = [p for p in paths if os.path.basename(p) != "Y.npy"]
     if not paths:
         raise FileNotFoundError(f"no .npy trajectories under {root}")
+    yielded = 0
+    skipped = []
     for p in paths:
         frames = np.load(p)
         if frames.ndim != 4 or frames.shape[-1] != 3:
+            skipped.append((os.path.relpath(p, root), frames.shape))
             continue
         name = os.path.relpath(p, root)
+        yielded += 1
         yield name, frames.astype(np.float32) / 255.0
+    if not yielded:
+        raise ValueError(
+            f"no usable (T, H, W, 3) trajectories under {root}; rejected: "
+            + ", ".join(f"{n} {s}" for n, s in skipped[:5])
+        )
 
 
 def minerl_trajectories(

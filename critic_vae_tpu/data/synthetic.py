@@ -35,7 +35,9 @@ def generate_frames(
     leaves = np.array([45, 90, 30], np.uint8)
 
     for i in range(num_frames):
-        horizon = size // 2 + rng.integers(-6, 7)
+        # clamp: rng.integers(2, horizon) below needs horizon > 2, which the
+        # jitter can violate for small `size`
+        horizon = max(3, size // 2 + rng.integers(-6, 7))
         img = np.empty((size, size, 3), np.uint8)
         img[:horizon] = sky
         img[horizon:] = grass

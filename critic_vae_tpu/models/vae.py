@@ -197,8 +197,18 @@ def decode(
         value = value[:, None]
     zin = jnp.concatenate([z, value.astype(z.dtype)], axis=1)  # (B, 33)
     h = zin @ dec["input"]["w"].astype(z.dtype) + dec["input"]["b"].astype(z.dtype)
-    # channel-major unflatten, then to NHWC (torch views 4096 as (256,4,4))
-    x = h.reshape(-1, 256, 4, 4).transpose(0, 2, 3, 1)
+    # channel-major unflatten, then to NHWC (torch views 4096 as (256,4,4));
+    # channels/spatial derive from the params so non-default configurations
+    # (init_vae_params dims/bottleneck) error loudly instead of reshaping
+    # into shape-valid garbage
+    c_in = dec["conv0"]["w"].shape[2]
+    spatial = int(round((h.shape[-1] / c_in) ** 0.5))
+    if spatial * spatial * c_in != h.shape[-1]:
+        raise ValueError(
+            f"decoder bottleneck {h.shape[-1]} does not factor into "
+            f"(C={c_in}) x S x S"
+        )
+    x = h.reshape(h.shape[0], c_in, spatial, spatial).transpose(0, 2, 3, 1)
     # Reference graph: 4×[conv5×5 → ReLU → nearest ×2] → conv5×5 → Tanh
     # (vae_nets.py:116-135). ReLU commutes with nearest-upsampling, so each
     # upsample→conv pair fuses into 4 small phase convs.

@@ -21,18 +21,32 @@ def init_distributed(
 ) -> bool:
     """Initialize multi-host JAX if a multi-process environment is detected.
 
-    With no arguments, relies on JAX's cluster auto-detection (TPU pods set
-    the environment automatically). Returns True if distributed mode is
-    active. Safe to call in single-process runs — it no-ops.
+    Detection, in order:
+
+    * explicit ``coordinator_address`` argument → initialize with it;
+    * a coordinator env var (COORDINATOR_ADDRESS / JAX_COORDINATOR_ADDRESS /
+      MEGASCALE_COORDINATOR_ADDRESS) → initialize, letting JAX read it;
+    * ``CRITIC_VAE_TPU_DISTRIBUTED=1`` → call ``jax.distributed.initialize()``
+      with no arguments so JAX's own cluster detection runs (GCE/GKE TPU-pod
+      metadata, SLURM, Open MPI). Pod metadata detection lives INSIDE
+      ``initialize`` — it cannot be sniffed from the environment here, so
+      multi-host pod launchers must set this variable (or pass the
+      coordinator explicitly); otherwise each host would silently train on
+      its local chips only, with every process believing it is primary.
+
+    Returns True if distributed mode is active. Safe to call in
+    single-process runs — it no-ops (and an opt-in auto-detect that finds
+    no cluster leaves JAX single-process).
     """
     import jax
 
     explicit = coordinator_address is not None
-    auto = any(
+    env_coord = any(
         v in os.environ
         for v in ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS")
     )
-    if not explicit and not auto:
+    opt_in = os.environ.get("CRITIC_VAE_TPU_DISTRIBUTED") == "1"
+    if not explicit and not env_coord and not opt_in:
         return False
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

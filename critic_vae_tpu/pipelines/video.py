@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from critic_vae_tpu.crf import REFERENCE_CRF_PARAMS as DEFAULT_CRF_PARAMS
 from critic_vae_tpu.ops.iou import iou, iou_batch
 from critic_vae_tpu.ops.mask import (
     episode_forward,
@@ -58,8 +59,6 @@ def _sweep_chunk_stats(masks, gt):
     fn = jnp.sum(gt_b & ~m, axis=(1, 2, 3))
     fp = jnp.sum(~gt_b & m, axis=(1, 2, 3))
     return tp, fn, fp
-
-DEFAULT_CRF_PARAMS = (22.0, 12.0, 3.1, 8.0, 1.8, 10)  # vae_utility.py:25-30
 
 
 def _refine(frames_u8, thr_masks, crf_params, backend: str, num_threads: int,

@@ -98,6 +98,8 @@ def final_frame(
     canvas.paste(_as_pil(recon_zero), (w * 2, ih))
     canvas.paste(_as_pil(diff_u8), (w * 3, ih))
     if with_masks:
+        if crf_mask is None:  # threshold-only rendering: empty CRF panel
+            crf_mask = np.zeros_like(np.asarray(thr_mask))
         canvas.paste(_as_pil(np.asarray(thr_mask, np.uint8) * 255), (w * 4, ih))
         canvas.paste(_as_pil(np.asarray(crf_mask, np.uint8) * 255), (w * 5, ih))
         if gt is not None:
