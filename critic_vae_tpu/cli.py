@@ -45,6 +45,11 @@ def _add_vae_weights(p: argparse.ArgumentParser) -> None:
     p.add_argument("--decoder", default=None, help="decoder checkpoint (.npz)")
 
 
+# argparse defaults derive from the typed config so the reference values
+# live in exactly one place (config.py; SURVEY vae_parameters.py mapping)
+_D = default_config()
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="critic_vae_tpu",
@@ -55,11 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
     t = sub.add_parser("train", help="train the VAE (reference: -train)")
     _add_common(t)
     t.add_argument("--source", default="synthetic", help="trajectory source: synthetic[:N[:T]] | minerl:<root> | <npy dir>")
-    t.add_argument("--epochs", type=int, default=7)
-    t.add_argument("--batch-size", type=int, default=128)
-    t.add_argument("--lr", type=float, default=5e-5)
-    t.add_argument("--kld-weight", type=float, default=1e-3)
-    t.add_argument("--total-images", type=int, default=50_000)
+    t.add_argument("--epochs", type=int, default=_D.train.epochs)
+    t.add_argument("--batch-size", type=int, default=_D.train.batch_size)
+    t.add_argument("--lr", type=float, default=_D.train.learning_rate)
+    t.add_argument("--kld-weight", type=float, default=_D.train.kld_weight)
+    t.add_argument("--total-images", type=int, default=_D.train.total_images)
     t.add_argument("--no-resume", action="store_true")
     t.add_argument("--log-dir", default=None)
     t.add_argument(
@@ -99,7 +104,7 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(v)
     _add_vae_weights(v)
     v.add_argument("--episode", default=None, help="episode dir with X.npy/Y.npy")
-    v.add_argument("--threshold", type=int, default=50)
+    v.add_argument("--threshold", type=int, default=_D.mask.threshold)
     v.add_argument("--sweep", action="store_true", help="threshold sweep 0..120 (reference: -thresh)")
     v.add_argument("--no-crf", action="store_true")
     v.add_argument(
@@ -137,14 +142,14 @@ def build_parser() -> argparse.ArgumentParser:
     _add_vae_weights(d)
     d.add_argument("--source", default="synthetic")
     d.add_argument("--out", default=None, help="output .npz path")
-    d.add_argument("--total-images", type=int, default=50_000)
+    d.add_argument("--total-images", type=int, default=_D.train.total_images)
 
     s = sub.add_parser("second", help="train second VAE on recon dataset (reference: -second)")
     _add_common(s)
     s.add_argument("--dataset", dest="dataset_path", default=None)
-    s.add_argument("--epochs", type=int, default=7)
-    s.add_argument("--batch-size", type=int, default=128)
-    s.add_argument("--lr", type=float, default=5e-5)
+    s.add_argument("--epochs", type=int, default=_D.train.epochs)
+    s.add_argument("--batch-size", type=int, default=_D.train.batch_size)
+    s.add_argument("--lr", type=float, default=_D.train.learning_rate)
     s.add_argument(
         "--correct-msssim", action="store_true",
         help="train with textbook MS-SSIM instead of the reference's quirky variant",
@@ -320,6 +325,17 @@ def cmd_video(args) -> int:
             return 1
         print("no Y.npy ground truth: IoU scoring and bin_info are skipped")
 
+    if args.sweep and args.crf_search is not None:
+        print("error: --sweep and --crf-search are mutually exclusive "
+              "(the sweep varies the threshold, the search varies CRF "
+              "parameters at one threshold)", file=sys.stderr)
+        return 1
+    # parse the search grid BEFORE the episode pass — a typo'd spec must not
+    # cost minutes of device work
+    search_grid = (
+        _parse_crf_grid(args.crf_search) if args.crf_search is not None else None
+    )
+
     from critic_vae_tpu.utils.profiling import profile_trace
 
     mesh = None
@@ -350,6 +366,7 @@ def cmd_video(args) -> int:
             batch_size=args.batch_size, compute_dtype=args.dtype,
             mesh=mesh, crf_backend=args.crf_backend,
             recons_u8=True,  # panels consume uint8; 4x less device fetch
+            with_recons=not args.no_gif,  # recons feed panels only
         )
 
     if args.crf_search is not None:
@@ -358,10 +375,9 @@ def cmd_video(args) -> int:
         from critic_vae_tpu.crf.device import crf_param_search
         from critic_vae_tpu.ops.iou import iou as iou_fn
 
-        grid = _parse_crf_grid(args.crf_search)
         print(f"searching CRF parameters ({'default grid' if not args.crf_search else args.crf_search})...")
         best_masks, search = crf_param_search(
-            frames, result.thr_masks, gt, grid, mesh=mesh
+            frames, result.thr_masks, gt, search_grid, mesh=mesh
         )
         for score, p in search:
             print(f"  iou={score:.3f}  (w1={p[0]}, alpha={p[1]}, beta={p[2]}, "

@@ -56,19 +56,28 @@ class TrainConfig:
     keep_checkpoints: int = 3
 
 
+from critic_vae_tpu.crf import REFERENCE_CRF_PARAMS as _CRF
+
+
 @dataclasses.dataclass(frozen=True)
 class MaskConfig:
     """Mask / video pipeline parameters (reference: vae_utility.py:17, vae.py:121)."""
 
     threshold: int = 50
     threshold_sweep: Tuple[int, ...] = tuple(range(0, 130, 10))
-    # denseCRF params (w1, alpha, beta, w2, gamma, iters) — vae_utility.py:25-30
-    crf_w1: float = 22.0
-    crf_alpha: float = 12.0
-    crf_beta: float = 3.1
-    crf_w2: float = 8.0
-    crf_gamma: float = 1.8
-    crf_iters: int = 10
+    # denseCRF params (w1, alpha, beta, w2, gamma, iters) — vae_utility.py:25-30;
+    # values derive from the one canonical tuple (crf.REFERENCE_CRF_PARAMS)
+    crf_w1: float = _CRF[0]
+    crf_alpha: float = _CRF[1]
+    crf_beta: float = _CRF[2]
+    crf_w2: float = _CRF[3]
+    crf_gamma: float = _CRF[4]
+    crf_iters: int = _CRF[5]
+
+    @property
+    def crf_params(self) -> Tuple[float, float, float, float, float, int]:
+        return (self.crf_w1, self.crf_alpha, self.crf_beta,
+                self.crf_w2, self.crf_gamma, self.crf_iters)
     # Episode slicing: frames[100:5000:2] (vae_utility.py:75-77)
     episode_slice: Tuple[int, int, int] = (100, 5000, 2)
     # Critic-binned balanced sampling (vae_utility.py:404,431-457)

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Iterable, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -23,23 +24,41 @@ from critic_vae_tpu.data.sampler import balanced_critic_sampler
 from critic_vae_tpu.models import vae as vae_mod
 
 
+@jax.jit
+def _recon_both(vae_params, bn_state, x, v):
+    """Fused encode + doubled-batch double-decode — one program per chunk
+    shape instead of ~40 eager remote dispatches (CLAUDE.md hazard)."""
+    mu, _, _ = vae_mod.encode(vae_params, bn_state, x, train=False)
+    b = mu.shape[0]
+    both = vae_mod.decode(
+        vae_params,
+        jnp.concatenate([mu, mu], axis=0),
+        jnp.concatenate([v, jnp.zeros((b,), v.dtype)]),
+    )
+    return both[:b], both[b:]
+
+
 def make_recon_fn(vae_params, bn_state, batch_size: int = 512):
-    """Batched (recon@pred, recon@0) producer for the sampler's recon mode."""
+    """Batched (recon@pred, recon@0) producer for the sampler's recon mode.
+    Ragged tails are padded so every trajectory reuses one compiled shape."""
 
     def recon_fn(frames: np.ndarray, preds: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        n = len(frames)
         outs_pred, outs_zero = [], []
-        for i in range(0, len(frames), batch_size):
-            x = jnp.asarray(frames[i : i + batch_size])
-            v = jnp.asarray(preds[i : i + batch_size])
-            mu, _, _ = vae_mod.encode(vae_params, bn_state, x, train=False)
-            b = mu.shape[0]
-            both = vae_mod.decode(
-                vae_params,
-                jnp.concatenate([mu, mu], axis=0),
-                jnp.concatenate([v, jnp.zeros((b,), v.dtype)]),
+        for i in range(0, n, batch_size):
+            x = frames[i : i + batch_size]
+            v = np.asarray(preds[i : i + batch_size], np.float32)
+            valid = len(x)
+            if valid < batch_size and n > batch_size:
+                pad = batch_size - valid
+                x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+                v = np.concatenate([v, np.repeat(v[-1:], pad)])
+            rp, rz = _recon_both(
+                vae_params, bn_state, jnp.asarray(x), jnp.asarray(v)
             )
-            outs_pred.append(np.asarray(both[:b]))
-            outs_zero.append(np.asarray(both[b:]))
+            host = jax.device_get({"p": rp, "z": rz})
+            outs_pred.append(host["p"][:valid])
+            outs_zero.append(host["z"][:valid])
         return np.concatenate(outs_pred), np.concatenate(outs_zero)
 
     return recon_fn

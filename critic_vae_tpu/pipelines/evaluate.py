@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from PIL import Image
@@ -22,6 +23,25 @@ from PIL import Image
 from critic_vae_tpu.models import vae as vae_mod
 from critic_vae_tpu.models.critic import critic_apply
 from critic_vae_tpu.ops.mask import diff_images, normalize_diffs
+
+
+@jax.jit
+def _eval_batch(vae_params, bn_state, critic_params, x):
+    """One fused program for the whole directory — eager op-by-op dispatch
+    costs ~100 ms/op through a tunneled PJRT backend (CLAUDE.md)."""
+    preds = critic_apply(critic_params, x)[:, 0]
+    recon_one, recon_zero, diff, max_value = diff_images(
+        vae_params, bn_state, x, preds
+    )
+    diff_u8, _ = normalize_diffs(diff, max_value)
+    return preds, recon_one, recon_zero, diff_u8
+
+
+@jax.jit
+def _inject_batch(vae_params, bn_state, critic_params, x, values):
+    preds = critic_apply(critic_params, x)[:, 0]
+    recons = vae_mod.inject(vae_params, bn_state, x, values)
+    return preds, recons
 
 
 def load_image_dir(path: str) -> Tuple[np.ndarray, List[str]]:
@@ -34,11 +54,19 @@ def load_image_dir(path: str) -> Tuple[np.ndarray, List[str]]:
         f for f in os.listdir(path)
         if f.lower().endswith((".jpg", ".jpeg", ".png", ".bmp"))
     )
-    imgs = np.stack(
-        [np.asarray(Image.open(os.path.join(path, f)).convert("RGB"), dtype=np.float32) / 255.0
-         for f in files]
-    )
-    return imgs, files
+    if not files:
+        raise FileNotFoundError(f"no images (.jpg/.jpeg/.png/.bmp) in {path}")
+    arrays = [
+        np.asarray(Image.open(os.path.join(path, f)).convert("RGB"), dtype=np.float32) / 255.0
+        for f in files
+    ]
+    shapes = {a.shape for a in arrays}
+    if len(shapes) > 1:
+        raise ValueError(
+            f"images in {path} have mixed sizes {sorted(shapes)}; the batched "
+            "eval pipeline needs one resolution"
+        )
+    return np.stack(arrays), files
 
 
 def evaluate_images(
@@ -49,16 +77,14 @@ def evaluate_images(
 
     Returns dict(preds, recon_one, recon_zero, diff_u8).
     """
-    x = jnp.asarray(images)
-    preds = critic_apply(critic_params, x)[:, 0]
-    recon_one, recon_zero, diff, max_value = diff_images(vae_params, bn_state, x, preds)
-    diff_u8, _ = normalize_diffs(diff, max_value)
-    return {
-        "preds": np.asarray(preds),
-        "recon_one": np.asarray(recon_one),
-        "recon_zero": np.asarray(recon_zero),
-        "diff_u8": np.asarray(diff_u8),
-    }
+    preds, recon_one, recon_zero, diff_u8 = _eval_batch(
+        vae_params, bn_state, critic_params, jnp.asarray(images)
+    )
+    host = jax.device_get(
+        {"preds": preds, "recon_one": recon_one,
+         "recon_zero": recon_zero, "diff_u8": diff_u8}
+    )
+    return {k: np.asarray(v) for k, v in host.items()}
 
 
 def save_eval_strips(results: dict, images: np.ndarray, out_dir: str) -> List[str]:
@@ -86,13 +112,12 @@ def inject_images(
     values: Optional[np.ndarray] = None,
 ) -> dict:
     """Batched injection ladder (reference: vae.py:90-92 + vae_nets.py:31-40)."""
-    x = jnp.asarray(images)
-    preds = critic_apply(critic_params, x)[:, 0]
-    recons = vae_mod.inject(
-        vae_params, bn_state, x,
+    preds, recons = _inject_batch(
+        vae_params, bn_state, critic_params, jnp.asarray(images),
         None if values is None else jnp.asarray(values),
     )
-    return {"preds": np.asarray(preds), "recons": np.asarray(recons)}
+    host = jax.device_get({"preds": preds, "recons": recons})
+    return {k: np.asarray(v) for k, v in host.items()}
 
 
 def save_inject_strips(results: dict, images: np.ndarray, out_dir: str) -> List[str]:

@@ -51,8 +51,9 @@ def _normalize_threshold_chunk(diff, mean_max, thresholds):
 @jax.jit
 def _sweep_chunk_stats(masks, gt):
     """Per-chunk (tp, fn, fp) counts per threshold, on device — the sweep's
-    whole-stack IoUs then need no mask re-upload (ops/iou.py semantics:
-    int32 counts, f32 division, 0/0 → 1)."""
+    whole-stack IoUs then need no mask re-upload. Per-chunk int32 counts
+    cannot overflow (≤512·4096 pixels per chunk); the caller accumulates in
+    int64 and divides with ops/iou.py semantics (f64, 0/0 → 1)."""
     gt_b = gt[None].astype(bool)
     m = masks.astype(bool)
     tp = jnp.sum(gt_b & m, axis=(1, 2, 3))
@@ -81,8 +82,8 @@ def _refine(frames_u8, thr_masks, crf_params, backend: str, num_threads: int,
 @dataclasses.dataclass
 class EpisodeResult:
     preds: np.ndarray  # (N,)
-    recon_one: np.ndarray  # (N, H, W, 3) float
-    recon_zero: np.ndarray
+    recon_one: Optional[np.ndarray]  # (N, H, W, 3) float/u8; None w/o recons
+    recon_zero: Optional[np.ndarray]
     diff_u8: np.ndarray  # (N, H, W) uint8 normalized diff maps
     thr_masks: np.ndarray  # (N, H, W) bool
     crf_masks: Optional[np.ndarray]  # (N, H, W) bool or None
@@ -183,6 +184,7 @@ def eval_episode(
     mesh=None,
     crf_backend: str = "host",
     recons_u8: bool = False,
+    with_recons: bool = True,
 ) -> EpisodeResult:
     """Full mask pipeline over an episode (reference: eval_textured_frames).
 
@@ -205,7 +207,7 @@ def eval_episode(
     host, diff_chunks, valids = episode_device_stage(
         vae_params, bn_state, critic_params, frames_u8, batch_size,
         compute_dtype=compute_dtype, mesh=mesh, recons_u8=recons_u8,
-        fetch=False,
+        with_recons=with_recons, fetch=False,
     )
 
     # Global two-pass normalization (vae_utility.py:106-110): the mean is
@@ -234,8 +236,8 @@ def eval_episode(
 
     return EpisodeResult(
         preds=host["preds"],
-        recon_one=host["recon_one"],
-        recon_zero=host["recon_zero"],
+        recon_one=host.get("recon_one"),
+        recon_zero=host.get("recon_zero"),
         diff_u8=diff_u8,
         thr_masks=thr_masks,
         crf_masks=crf_masks,
@@ -287,12 +289,12 @@ def threshold_sweep(
         tp, fn, fp = tp + st["tp"].astype(np.int64), fn + st["fn"].astype(np.int64), fp + st["fp"].astype(np.int64)
         offset += valid
     masks = np.concatenate(mask_parts, axis=1)  # (T, N, H, W)
-    # same precision path as ops.iou.iou: int32 counts, f32 division, round 3
-    tp_j = jnp.asarray(tp.astype(np.int32))
-    union_j = jnp.asarray((tp + fn + fp).astype(np.int32))
-    thr_ious = np.asarray(
-        jnp.where(union_j == 0, 1.0, tp_j / jnp.maximum(union_j, 1))
-    )
+    # exact ops.iou.iou semantics: python-int counts (no int32 overflow at
+    # episode scale), f64 division, 0/0 -> 1
+    union = tp + fn + fp
+    thr_ious = [
+        1.0 if int(u) == 0 else int(t) / int(u) for t, u in zip(tp, union)
+    ]
 
     results = []
     for ti, t in enumerate(thresholds):

@@ -40,11 +40,12 @@ def timed(label: str, sink=print) -> Iterator[None]:
 
 
 def device_barrier(x) -> None:
-    """True completion barrier: fetch a small slice to host.
+    """True completion barrier: fetch a SMALL slice to host.
 
     On tunneled PJRT backends ``jax.block_until_ready`` proved unreliable as
     a barrier; the device queue is in-order, so materializing any output of
-    the last program guarantees everything before it finished.
+    the last program guarantees everything before it finished. Only the
+    first element is fetched — passing a large output stays cheap.
     """
-    arr = np.asarray(x)
+    arr = np.asarray(x.ravel()[:1] if hasattr(x, "ravel") else x)
     del arr
