@@ -217,18 +217,30 @@ def _load_vae(args, cfg: Config, second: bool = False):
     return load_final_weights(enc, dec, params, bn)
 
 
+def _primary() -> bool:
+    from critic_vae_tpu.parallel.distributed import is_primary
+
+    return is_primary()
+
+
 def _collect_training_set(args, cfg, critic_params) -> np.ndarray:
     from critic_vae_tpu.data.sampler import balanced_critic_sampler
     from critic_vae_tpu.data.sources import open_source
 
-    print(f"collecting balanced training frames from {args.source!r}...")
+    quiet = not _primary()
+    if not quiet:
+        print(f"collecting balanced training frames from {args.source!r}...")
     dset = balanced_critic_sampler(
         open_source(args.source),
         critic_params,
         total_images=args.total_images,
-        progress=lambda n: print(f"total images = {n}", end="\r"),
+        progress=(
+            None if quiet
+            else lambda n: print(f"total images = {n}", end="\r")
+        ),
     )
-    print(f"\ncollected {len(dset)} frames")
+    if not quiet:
+        print(f"\ncollected {len(dset)} frames")
     return dset
 
 
@@ -238,6 +250,10 @@ def cmd_train(args) -> int:
     dset = _collect_training_set(args, cfg, critic_params)
     from critic_vae_tpu.pipelines.train import save_final_weights, train
 
+    # multi-host: a fixed log dir must be identical across processes so the
+    # primary's writes land where the launcher expects; the time-suffixed
+    # default only matters single-process (each process derives its own, but
+    # only the primary ever creates it — pipelines/train.py gates the logger)
     log_dir = args.log_dir or str(cfg.paths.resolve(f"logs/vae{str(time.time())[-5:]}"))
     state = train(
         critic_params,
@@ -254,10 +270,11 @@ def cmd_train(args) -> int:
         resume=not args.no_resume,
         log_images=args.log_images,
     )
-    enc = str(cfg.paths.resolve(cfg.paths.encoder_path))
-    dec = str(cfg.paths.resolve(cfg.paths.decoder_path))
-    save_final_weights(state, enc, dec)
-    print(f"saved {enc} and {dec}")
+    if _primary():
+        enc = str(cfg.paths.resolve(cfg.paths.encoder_path))
+        dec = str(cfg.paths.resolve(cfg.paths.decoder_path))
+        save_final_weights(state, enc, dec)
+        print(f"saved {enc} and {dec}")
     return 0
 
 
@@ -301,6 +318,7 @@ def cmd_evalsecond(args) -> int:
 
 def cmd_video(args) -> int:
     cfg = _cfg(args)
+    pri = _primary()  # device stages run on all processes; only primary writes
     critic_params = _critic(args, cfg)
     vae_params, bn_state = _load_vae(args, cfg)
     from critic_vae_tpu.data.episode import load_episode
@@ -315,7 +333,8 @@ def cmd_video(args) -> int:
             "try --no-slice", file=sys.stderr,
         )
         return 1
-    print(f"processing {len(frames)} frames...")
+    if pri:
+        print(f"processing {len(frames)} frames...")
     if gt is None:
         if args.sweep or args.crf_search is not None:
             print(
@@ -323,7 +342,8 @@ def cmd_video(args) -> int:
                 "--sweep/--crf-search need IoU scoring", file=sys.stderr,
             )
             return 1
-        print("no Y.npy ground truth: IoU scoring and bin_info are skipped")
+        if pri:
+            print("no Y.npy ground truth: IoU scoring and bin_info are skipped")
 
     if args.sweep and args.crf_search is not None:
         print("error: --sweep and --crf-search are mutually exclusive "
@@ -343,10 +363,12 @@ def cmd_video(args) -> int:
         from critic_vae_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(args.num_devices)
-        print(f"sharding the device stage over {mesh.devices.size} device(s)")
+        if pri:
+            print(f"sharding the device stage over {mesh.devices.size} device(s)")
 
     if args.sweep:
-        print("testing thresholds (thr):")
+        if pri:
+            print("testing thresholds (thr):")
         with profile_trace(args.profile):
             results = vid.threshold_sweep(
                 vae_params, bn_state, critic_params, frames, gt,
@@ -354,8 +376,9 @@ def cmd_video(args) -> int:
                 batch_size=args.batch_size, compute_dtype=args.dtype,
                 mesh=mesh, crf_backend=args.crf_backend,
             )
-        for r in results:
-            print(f"thr={r['threshold']}, thr_iou={r['thr_iou']}, crf_iou={r['crf_iou']}")
+        if pri:
+            for r in results:
+                print(f"thr={r['threshold']}, thr_iou={r['thr_iou']}, crf_iou={r['crf_iou']}")
         return 0
 
     with profile_trace(args.profile):
@@ -375,18 +398,20 @@ def cmd_video(args) -> int:
         from critic_vae_tpu.crf.device import crf_param_search
         from critic_vae_tpu.ops.iou import iou as iou_fn
 
-        print(f"searching CRF parameters ({'default grid' if not args.crf_search else args.crf_search})...")
+        if pri:
+            print(f"searching CRF parameters ({'default grid' if not args.crf_search else args.crf_search})...")
         best_masks, search = crf_param_search(
             frames, result.thr_masks, gt, search_grid, mesh=mesh
         )
-        for score, p in search:
-            print(f"  iou={score:.3f}  (w1={p[0]}, alpha={p[1]}, beta={p[2]}, "
-                  f"w2={p[3]}, gamma={p[4]}, iters={p[5]})")
+        if pri:
+            for score, p in search:
+                print(f"  iou={score:.3f}  (w1={p[0]}, alpha={p[1]}, beta={p[2]}, "
+                      f"w2={p[3]}, gamma={p[4]}, iters={p[5]})")
         result = dataclasses.replace(
             result, crf_masks=best_masks, crf_iou=iou_fn(gt, best_masks)
         )
 
-    if gt is not None:
+    if gt is not None and pri:
         print(f"thr_iou={result.thr_iou}")
         print(f"crf_iou={result.crf_iou}")
 
@@ -394,7 +419,7 @@ def cmd_video(args) -> int:
         binfo = str(cfg.paths.resolve("bin_info_vae1.txt"))
         vid.write_bin_info(diag, binfo, total_frames=len(frames))
 
-    if not args.no_gif:
+    if not args.no_gif and pri:
         from critic_vae_tpu.viz.gif import write_gif
 
         strips = vid.compose_frames(frames, result, gt, args.threshold)
@@ -591,6 +616,20 @@ def _enable_compilation_cache() -> None:
 
 def main(argv: Optional[list] = None) -> int:
     args = build_parser().parse_args(argv)
+    # Multi-host: one jax.distributed.initialize per process BEFORE any
+    # backend touch (greenfield — the reference is single-process,
+    # vae_parameters.py:2). No-op unless a coordinator is configured; see
+    # parallel/distributed.py for the detection rules.
+    from critic_vae_tpu.parallel.distributed import init_distributed, is_primary
+
+    if init_distributed():
+        import jax
+
+        if is_primary():
+            print(
+                f"multi-host: {jax.process_count()} processes, "
+                f"{len(jax.devices())} devices"
+            )
     _enable_compilation_cache()
     return COMMANDS[args.mode](args)
 

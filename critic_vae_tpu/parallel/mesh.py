@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -71,7 +72,65 @@ def shard_batch(mesh: Mesh, arr: Any, axis: str = DATA_AXIS) -> jax.Array:
     return jax.device_put(arr, batch_sharding(mesh, arr.ndim, axis))
 
 
+def device_put_global(mesh: Mesh, tree: Any, spec: P = P()) -> Any:
+    """Device-put a pytree onto the mesh with one PartitionSpec — working in
+    multi-process (multi-host) programs too.
+
+    In a multi-host run every process calls this with the SAME host values
+    (the framework's data/replication convention — each process computes the
+    identical dataset/params from the shared seed); ``jax.device_put`` then
+    fills each process's addressable shards from its local copy. Two leaf
+    quirks handled here:
+
+    * typed PRNG keys: ``device_put`` refuses extended dtypes on shardings
+      with non-addressable devices, so keys ride as raw ``key_data`` and are
+      re-wrapped;
+    * committed local ``jax.Array`` leaves (e.g. fresh params on the default
+      device) are pulled to host first when the mesh spans processes.
+    """
+    sharding = NamedSharding(mesh, spec)
+    multi = jax.process_count() > 1
+
+    def put(x):
+        if hasattr(x, "dtype") and jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+            impl = jax.random.key_impl(x)
+            kd = np.asarray(jax.random.key_data(x))
+            return jax.random.wrap_key_data(jax.device_put(kd, sharding), impl=impl)
+        if multi and isinstance(x, jax.Array):
+            x = np.asarray(x)
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, tree)
+
+
 def replicate(mesh: Mesh, tree: Any) -> Any:
     """Device-put a pytree fully replicated over the mesh."""
-    sharding = NamedSharding(mesh, P())
-    return jax.device_put(tree, sharding)
+    return device_put_global(mesh, tree, P())
+
+
+def fetch(tree: Any) -> Any:
+    """Bring device arrays to host — ``jax.device_get`` plus the multi-host
+    case: a sharded global array is not fully addressable on any one process,
+    so it is gathered with ``multihost_utils.process_allgather`` (every
+    process receives the full value; fully-replicated arrays are read
+    locally with no communication)."""
+    if jax.process_count() == 1:
+        return jax.device_get(tree)
+    from jax.experimental import multihost_utils
+
+    def one(x):
+        if not isinstance(x, jax.Array):
+            return np.asarray(x)
+        if jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+            if x.is_fully_addressable:
+                return jax.device_get(x)
+            # typed keys have no numpy representation; round-trip the raw
+            # key_data and re-wrap as a host-local key
+            impl = jax.random.key_impl(x)
+            kd = one(jax.random.key_data(x))
+            return jax.random.wrap_key_data(jnp.asarray(kd), impl=impl)
+        if not x.is_fully_addressable and not x.is_fully_replicated:
+            return multihost_utils.process_allgather(x, tiled=True)
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(one, tree)

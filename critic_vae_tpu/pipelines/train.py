@@ -29,7 +29,13 @@ import numpy as np
 
 from critic_vae_tpu.io import checkpoint as ckpt_io
 from critic_vae_tpu.io.events import MetricLogger
-from critic_vae_tpu.parallel.mesh import make_mesh, replicate
+from critic_vae_tpu.parallel.distributed import is_primary
+from critic_vae_tpu.parallel.mesh import (
+    DATA_AXIS,
+    device_put_global,
+    make_mesh,
+    replicate,
+)
 from critic_vae_tpu.train.step import TrainState, init_train_state, make_multi_step
 
 
@@ -72,18 +78,27 @@ def train(
         )
 
     mesh = make_mesh() if use_mesh else None
+    # Multi-host convention (SURVEY §2.3, greenfield): every process runs
+    # this same function with the same dataset/seed; only the primary
+    # process writes checkpoints, TB events, JSONL, and progress lines.
+    # Collective compute (the train step, the probe recon) runs on ALL
+    # processes — gating it on one would deadlock the others.
+    primary = is_primary()
     state, tx = init_train_state(jax.random.key(seed), learning_rate)
     if initial_state is not None:
         state = initial_state
 
     start_step = 0
     if resume and checkpoint_dir:
+        # every process restores (checkpoint_dir is on a shared filesystem in
+        # multi-host runs — each host needs the same state to replicate)
         latest = ckpt_io.latest_checkpoint(checkpoint_dir)
         if latest is not None:
             _validate_resume_meta(latest[0], num_samples, batch_size, seed)
             state = ckpt_io.restore_train_state(latest[0], state)
             start_step = int(latest[1])
-            print(f"resumed from {latest[0]} (step {start_step})")
+            if primary:
+                print(f"resumed from {latest[0]} (step {start_step})")
 
     if mesh is not None:
         state = replicate(mesh, state)
@@ -101,7 +116,7 @@ def train(
         compute_dtype=jnp.dtype(compute_dtype),
     )
 
-    logger = MetricLogger(log_dir) if log_dir else None
+    logger = MetricLogger(log_dir) if (log_dir and primary) else None
     shuffle_rng = np.random.default_rng(seed)
     start_epoch, start_row = divmod(start_step, max(steps_per_epoch, 1))
     for _ in range(start_epoch):  # keep the shuffle stream deterministic on resume
@@ -132,9 +147,19 @@ def train(
             row = start_row if ep == start_epoch else 0
             while row < steps_per_epoch:
                 idx_chunk = idx_epoch[row : row + dispatch]
-                state, metrics = multi_step(
-                    state, dataset_dev, jnp.asarray(idx_chunk)
-                )
+                if mesh is not None:
+                    # explicit global put: under multi-host jit cannot shard
+                    # a process-local array itself — each process supplies
+                    # its addressable batch columns from the (identical)
+                    # global index array
+                    from jax.sharding import PartitionSpec as P
+
+                    idx_dev = device_put_global(
+                        mesh, idx_chunk, P(None, DATA_AXIS)
+                    )
+                else:
+                    idx_dev = jnp.asarray(idx_chunk)
+                state, metrics = multi_step(state, dataset_dev, idx_dev)
                 # one bulk device_get per dispatch — per-element device
                 # indexing costs ~40 ms/scalar through a tunneled PJRT backend
                 host_rows.append(jax.device_get(metrics))
@@ -144,11 +169,12 @@ def train(
                     checkpoint_dir
                     and cur_step - last_ckpt_step >= checkpoint_every_steps
                 ):
-                    _save_ckpt(
-                        checkpoint_dir, state, keep_checkpoints,
-                        meta={"num_samples": num_samples,
-                              "batch_size": batch_size, "seed": seed},
-                    )
+                    if primary:
+                        _save_ckpt(
+                            checkpoint_dir, state, keep_checkpoints,
+                            meta={"num_samples": num_samples,
+                                  "batch_size": batch_size, "seed": seed},
+                        )
                     last_ckpt_step = cur_step
             host = {
                 k: np.concatenate([h[k] for h in host_rows])
@@ -166,12 +192,14 @@ def train(
                         {k: float(v[row - first_row]) for k, v in host.items()},
                         row * batch_size + num_samples * ep,
                     )
-            if logger and log_images:
+            if log_images and log_dir:
+                # run on ALL processes (the probe forward is a collective
+                # program over the mesh); only the primary's logger writes
                 _log_probe_images(
                     logger, state, critic_params, dataset,
                     step=num_samples * (ep + 1),
                 )
-            if progress:
+            if progress and primary:
                 imgs_done = num_samples * (ep + 1)
                 rate = (imgs_done - start_step * batch_size) / max(
                     time.time() - t0, 1e-9
@@ -182,13 +210,13 @@ def train(
                     f"{rate:.0f} img/s",
                     end="\r",
                 )
-        if progress and last_metrics is not None:
+        if progress and primary and last_metrics is not None:
             print()
     finally:
         if logger:
             logger.close()
 
-    if checkpoint_dir:
+    if checkpoint_dir and primary:
         _save_ckpt(
             checkpoint_dir, state, keep_checkpoints,
             meta={"num_samples": num_samples, "batch_size": batch_size,
@@ -210,12 +238,19 @@ def _probe_recon(params, bn_state, critic_params, x):
 def _log_probe_images(logger, state, critic_params, dataset, step: int) -> None:
     """Per-epoch visual: originals over reconstructions of a fixed probe
     batch, logged to TB's Images tab (the reference's image_summary is dead
-    code — logger.py:17-28)."""
+    code — logger.py:17-28).
+
+    Called on EVERY process in a multi-host run (the jitted probe is a
+    collective program over the global mesh); ``logger`` is None off-primary
+    and only the primary writes."""
+    from critic_vae_tpu.parallel.mesh import fetch
+
     probe = dataset[:4]
     if probe.dtype == np.uint8:
         probe = probe.astype(np.float32) / 255.0
-    x = jnp.asarray(probe)
-    recon = np.asarray(_probe_recon(state.params, state.bn_state, critic_params, x))
+    recon = fetch(_probe_recon(state.params, state.bn_state, critic_params, probe))
+    if logger is None:
+        return
     strip = np.concatenate(
         [np.concatenate(list(probe), axis=1), np.concatenate(list(recon), axis=1)],
         axis=0,
@@ -226,10 +261,13 @@ def _log_probe_images(logger, state, critic_params, dataset, step: int) -> None:
 def _save_ckpt(
     directory: str, state: TrainState, keep: int, meta: Optional[dict] = None
 ) -> None:
+    from critic_vae_tpu.parallel.mesh import fetch
+
     os.makedirs(directory, exist_ok=True)
-    step = int(jax.device_get(state.step))
+    host_state = fetch(state)  # multi-host safe (typed rng key included)
+    step = int(host_state.step)
     path = os.path.join(directory, f"ckpt-{step}.npz")
-    ckpt_io.save_train_state(path, jax.device_get(state))
+    ckpt_io.save_train_state(path, host_state)
     if meta is not None:
         import json
 

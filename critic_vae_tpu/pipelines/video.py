@@ -32,6 +32,7 @@ import numpy as np
 
 from critic_vae_tpu.crf import REFERENCE_CRF_PARAMS as DEFAULT_CRF_PARAMS
 from critic_vae_tpu.ops.iou import iou, iou_batch
+from critic_vae_tpu.parallel.mesh import fetch as _fetch
 from critic_vae_tpu.ops.mask import (
     episode_forward,
     normalize_diffs_given_mean,
@@ -154,11 +155,11 @@ def episode_device_stage(
             recons_u8=recons_u8,
         )
         valids.append(valid)
-        host = jax.device_get({k: res[k] for k in host_keys})
+        host = _fetch({k: res[k] for k in host_keys})
         for k in host_keys:
             outs[k].append(host[k][:valid])
         if fetch:
-            diff_chunks.append(jax.device_get(res["diff"])[:valid])
+            diff_chunks.append(_fetch(res["diff"])[:valid])
         else:
             diff_chunks.append(res["diff"])
     host_out = {k: np.concatenate(v, axis=0) for k, v in outs.items()}
@@ -213,13 +214,16 @@ def eval_episode(
     # Global two-pass normalization (vae_utility.py:106-110): the mean is
     # computed on device over the same trimmed f32 sequence as the
     # unchunked path; only uint8 diffs and boolean masks come to the host.
-    mean_max = jnp.mean(jnp.asarray(host["max_value"]))
+    # device-computed mean, then back to a HOST scalar: jitted chunk calls
+    # below take it as numpy so multi-host jit never sees a process-local
+    # committed array mixed with global-mesh operands
+    mean_max = np.asarray(jnp.mean(jnp.asarray(host["max_value"])))
 
-    t_arr = jnp.asarray([threshold])
+    t_arr = np.asarray([threshold], np.int32)
     diff_parts, thr_parts = [], []
     for ci, valid in enumerate(valids):
         u8, thr_c = _normalize_threshold_chunk(diff_chunks[ci], mean_max, t_arr)
-        fetched = jax.device_get({"u8": u8, "thr": thr_c[0]})
+        fetched = _fetch({"u8": u8, "thr": thr_c[0]})
         diff_parts.append(fetched["u8"][:valid])
         thr_parts.append(fetched["thr"][:valid])
     diff_u8 = np.concatenate(diff_parts)
@@ -274,17 +278,19 @@ def threshold_sweep(
         vae_params, bn_state, critic_params, frames_u8, batch_size,
         with_recons=False, compute_dtype=compute_dtype, mesh=mesh, fetch=False,
     )
-    mean_max = jnp.mean(jnp.asarray(host["max_value"]))
+    mean_max = np.asarray(jnp.mean(jnp.asarray(host["max_value"])))
 
-    t_arr = jnp.asarray(list(thresholds))
+    t_arr = np.asarray(list(thresholds), np.int32)
     mask_parts = []
     tp = fn = fp = 0
     offset = 0
     for ci, valid in enumerate(valids):
         _, masks_c = _normalize_threshold_chunk(diff_chunks[ci], mean_max, t_arr)
         masks_v = masks_c[:, :valid]  # device slice; ≤2 shapes per episode
-        ctp, cfn, cfp = _sweep_chunk_stats(masks_v, jnp.asarray(gt[offset : offset + valid]))
-        st = jax.device_get({"m": masks_v, "tp": ctp, "fn": cfn, "fp": cfp})
+        # gt slice stays numpy: under multi-host jit a process-local committed
+        # array cannot mix with global-mesh operands, but host numpy can
+        ctp, cfn, cfp = _sweep_chunk_stats(masks_v, gt[offset : offset + valid])
+        st = _fetch({"m": masks_v, "tp": ctp, "fn": cfn, "fp": cfp})
         mask_parts.append(st["m"])
         tp, fn, fp = tp + st["tp"].astype(np.int64), fn + st["fn"].astype(np.int64), fp + st["fp"].astype(np.int64)
         offset += valid
