@@ -84,6 +84,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="conv/matmul compute dtype for the train step (params, Adam "
         "state, BN stats and the loss stay float32)",
     )
+    t.add_argument(
+        "--value-consistency", type=float, default=0.0, metavar="W",
+        help="opt-in auxiliary loss strengthening the decoder's "
+        "value-conditioning pathway (the measured quality limiter, "
+        "docs/RESULTS.md): the frozen critic must read decode(mu, 0) as "
+        "trunk-free and decode(mu, v) as probability v. 0 = off "
+        "(reference-faithful objective)",
+    )
 
     for name, help_ in (("eval", "evaluate source images (reference default mode)"),
                         ("inject", "injection ladder strips (reference: -inject)"),
@@ -265,6 +273,7 @@ def cmd_train(args) -> int:
         faithful_msssim=not args.correct_msssim,
         compute_dtype=args.dtype,
         seed=args.seed,
+        value_consistency=args.value_consistency,
         log_dir=log_dir,
         checkpoint_dir=str(cfg.paths.resolve("checkpoints")),
         resume=not args.no_resume,

@@ -117,22 +117,50 @@ def _numpy_only_unpickler(file):
 
 
 def load_dataset(path: str) -> np.ndarray:
-    """Load a recon dataset: our ``.npz`` artifact, or the reference's
-    pickle format — a list of (1, 3, 64, 64) float32 BCHW arrays
-    (reference: vae.py:135-136 pickles load_minerl_data(recon_dset=True)'s
-    output; its train() then np.stack(...).squeeze()es it, vae.py:35).
-    Either way returns (N, H, W, 3) float32 NHWC."""
+    """Load a recon dataset: our ``.npz`` artifact, a raw ``.npy``
+    (memory-mapped — zero-copy ingestion for huge arrays), or the
+    reference's pickle format — a list of (1, 3, 64, 64) float32 BCHW
+    arrays (reference: vae.py:135-136 pickles
+    load_minerl_data(recon_dset=True)'s output; its train() then
+    np.stack(...).squeeze()es it, vae.py:35). Either way returns
+    (N, H, W, 3) float32 NHWC.
+
+    Peak-memory hygiene for the reference-scale ~5 GB pickle (README.md:38,
+    this 1-core host): the naive stack→transpose→astype chain holds THREE
+    full copies at peak. Here the output is preallocated once and the
+    unpickled list is consumed from the tail, freeing each source frame as
+    it is converted — peak ≈ input + output, decaying to 1× (measured:
+    tests/test_pipelines.py::test_load_dataset_pickle_peak_memory)."""
     import zipfile
 
+    if path.endswith(".npy"):
+        arr = np.load(path, mmap_mode="r")
+        if arr.ndim != 4 or arr.shape[-1] != 3:
+            raise ValueError(f".npy dataset must be (N, H, W, 3), got {arr.shape}")
+        return arr
     if zipfile.is_zipfile(path):
         with np.load(path) as data:
             return data["frames"]
     with open(path, "rb") as f:
         dset = _numpy_only_unpickler(f).load()
-    frames = np.stack([np.squeeze(np.asarray(a)) for a in dset])  # (N, 3, H, W)
-    if frames.ndim != 4 or frames.shape[1] != 3:
+    if not isinstance(dset, list) or not dset:
         raise ValueError(
-            f"unrecognized dataset pickle layout {frames.shape}; expected a "
+            "unrecognized dataset pickle: expected a non-empty list of "
+            "(1, 3, H, W) frames (reference vae_utility.py:422-443)"
+        )
+    first = np.squeeze(np.asarray(dset[0]))
+    if first.ndim != 3 or first.shape[0] != 3:
+        raise ValueError(
+            f"unrecognized dataset pickle layout {first.shape}; expected a "
             "list of (1, 3, H, W) frames (reference vae_utility.py:422-443)"
         )
-    return np.ascontiguousarray(frames.transpose(0, 2, 3, 1).astype(np.float32))
+    c, h, w = first.shape
+    out = np.empty((len(dset), h, w, c), np.float32)
+    for i in range(len(dset) - 1, -1, -1):  # consume + free from the tail
+        a = np.squeeze(np.asarray(dset.pop()))
+        if a.shape != (c, h, w):
+            raise ValueError(
+                f"dataset pickle frame {i} has shape {a.shape}, expected {(c, h, w)}"
+            )
+        out[i] = a.transpose(1, 2, 0)
+    return out

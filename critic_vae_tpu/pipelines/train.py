@@ -60,6 +60,7 @@ def train(
     initial_state: Optional[TrainState] = None,
     progress: bool = True,
     log_images: bool = False,
+    value_consistency: float = 0.0,
 ) -> TrainState:
     """Train the VAE on (N, 64, 64, 3) frames — float in [0, 1] or uint8.
 
@@ -69,7 +70,9 @@ def train(
     if dataset.ndim != 4:
         raise ValueError(f"dataset must be (N, H, W, C), got {dataset.shape}")
     if dataset.dtype != np.uint8:
-        dataset = dataset.astype(np.float32)
+        # copy=False: memory-mapped .npy datasets (pipelines/dataset.py)
+        # must not be duplicated into RAM just to no-op the dtype
+        dataset = dataset.astype(np.float32, copy=False)
     num_samples = len(dataset)
     steps_per_epoch = num_samples // batch_size
     if steps_per_epoch == 0:
@@ -114,6 +117,7 @@ def train(
         critic_params, tx, kld_weight=kld_weight,
         faithful_msssim=faithful_msssim, mesh=mesh,
         compute_dtype=jnp.dtype(compute_dtype),
+        value_consistency=value_consistency,
     )
 
     logger = MetricLogger(log_dir) if (log_dir and primary) else None

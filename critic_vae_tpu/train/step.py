@@ -74,6 +74,7 @@ def _step_logic(
     faithful_msssim: bool,
     compute_dtype,
     remat: bool = False,
+    value_consistency: float = 0.0,
 ):
     """One optimization step (pure; shared by the per-call and scan drivers)."""
     rng, sample_key = jax.random.split(state.rng)
@@ -104,6 +105,34 @@ def _step_logic(
             kld_weight=kld_weight,
             faithful=faithful_msssim,
         )
+        if value_consistency > 0.0:
+            # Opt-in critic-grounded value-consistency term (round-3; the
+            # round-2 ablations isolated the decoder's value-conditioning
+            # pathway as the quality limiter, docs/RESULTS.md): the frozen
+            # critic must read decode(mu, 0) as trunk-free and decode(mu, v)
+            # as having v's trunk probability. Because the critic is the
+            # discriminative map of "where a trunk is", this pushes the
+            # value channel to control trunk rendering specifically —
+            # strengthening the double-decode diff signal the mask pipeline
+            # feeds on — rather than rewarding any arbitrary recon drift.
+            # Gradients flow through the critic's FROZEN weights into the
+            # decoder (and encoder via mu); the deterministic mu path is
+            # used because that is the inference path masks come from.
+            pv = preds[:, 0] if preds.ndim == 2 else preds
+            recon_v = vae_mod.decode(params, mu, pv)
+            recon_0 = vae_mod.decode(params, mu, jnp.zeros_like(pv))
+            cv = critic_mod.critic_apply(critic_params, recon_v)[:, 0]
+            c0 = critic_mod.critic_apply(critic_params, recon_0)[:, 0]
+            eps = 1e-6
+            cv = jnp.clip(cv.astype(jnp.float32), eps, 1.0 - eps)
+            c0 = jnp.clip(c0.astype(jnp.float32), eps, 1.0 - eps)
+            t = jax.lax.stop_gradient(pv.astype(jnp.float32))
+            bce_v = -(t * jnp.log(cv) + (1.0 - t) * jnp.log(1.0 - cv))
+            bce_0 = -jnp.log(1.0 - c0)
+            vc = jnp.mean(bce_v) + jnp.mean(bce_0)
+            losses = dict(losses)
+            losses["vc_loss"] = value_consistency * vc
+            losses["total_loss"] = losses["total_loss"] + losses["vc_loss"]
         return losses["total_loss"], (losses, new_bn)
 
     grads, (losses, new_bn) = jax.grad(loss_fn, has_aux=True)(state.params)
@@ -132,6 +161,7 @@ def make_train_step(
     compute_dtype: jnp.dtype = jnp.float32,
     donate: bool = True,
     remat: bool = False,
+    value_consistency: float = 0.0,
 ):
     """Build the jitted train step.
 
@@ -143,7 +173,7 @@ def make_train_step(
     def step(state: TrainState, batch: jnp.ndarray):
         return _step_logic(
             state, batch, critic_params, tx, kld_weight, faithful_msssim,
-            compute_dtype, remat,
+            compute_dtype, remat, value_consistency,
         )
 
     if mesh is not None:
@@ -169,6 +199,7 @@ def make_multi_step(
     compute_dtype: jnp.dtype = jnp.float32,
     donate: bool = True,
     remat: bool = False,
+    value_consistency: float = 0.0,
 ):
     """Build the scan-based multi-step driver for HBM-resident datasets.
 
@@ -190,7 +221,7 @@ def make_multi_step(
             batch = jnp.take(dataset, batch_idx, axis=0)
             return _step_logic(
                 st, batch, critic_params, tx, kld_weight, faithful_msssim,
-                compute_dtype, remat,
+                compute_dtype, remat, value_consistency,
             )
 
         return jax.lax.scan(body, state, idx)

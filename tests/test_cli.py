@@ -157,3 +157,50 @@ def test_video_without_ground_truth(workspace, tmp_path):
     # sweep needs gt -> clean error
     assert main(["video", *base, "--episode", nogt, "--batch-size", "8",
                  "--no-slice", "--sweep"]) == 1
+
+
+@requires_reference
+def test_real_episode_runbook_default_paths(workspace, capsys):
+    """The real-episode runbook (README 'When the real episode appears'):
+    once X.npy/Y.npy exist at the reference's exact location, ONE command —
+    ``video`` with no --episode flag — must resolve the default
+    ``minerl-episode/`` path, apply the reference's [100:5000:2] slice
+    (vae_utility.py:70-82), and produce thr/CRF IoU, bin_info, and the GIF.
+    Pre-flighted here with a synthetic episode in that exact layout."""
+    import shutil
+
+    from critic_vae_tpu.data.synthetic import generate_episode
+
+    root = os.path.join(workspace, "runbook")
+    os.makedirs(os.path.join(root, "saved-networks"))
+    shutil.copy(CRITIC_PT, os.path.join(root, "saved-networks",
+                                        os.path.basename(CRITIC_PT)))
+    if not os.path.exists(os.path.join(workspace, "saved-networks",
+                                       "vae_encoder.ckpt")):
+        # standalone (-k) run: the mode-matrix test hasn't trained weights
+        import jax
+
+        from critic_vae_tpu.pipelines.train import save_final_weights
+        from critic_vae_tpu.train.step import init_train_state
+
+        state, _ = init_train_state(jax.random.key(0))
+        save_final_weights(
+            state,
+            os.path.join(workspace, "saved-networks", "vae_encoder.ckpt"),
+            os.path.join(workspace, "saved-networks", "vae_decoder.ckpt"),
+        )
+    for name in ("vae_encoder.ckpt", "vae_decoder.ckpt"):
+        shutil.copy(os.path.join(workspace, "saved-networks", name),
+                    os.path.join(root, "saved-networks", name))
+    # 110 frames -> the [100:5000:2] slice selects 5, like the real 1200
+    # -> 550 (proportionally)
+    generate_episode(os.path.join(root, "minerl-episode"), num_frames=110,
+                     seed=1)
+    _run(["video", "--root", root, "--critic",
+          os.path.join(root, "saved-networks", os.path.basename(CRITIC_PT)),
+          "--batch-size", "8"])
+    out = capsys.readouterr().out
+    assert "processing 5 frames" in out
+    assert "thr_iou=" in out and "crf_iou=" in out
+    assert os.path.exists(os.path.join(root, "bin_info_vae1.txt"))
+    assert os.path.exists(os.path.join(root, "videos/video-threshold=50.gif"))

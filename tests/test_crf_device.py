@@ -196,3 +196,87 @@ def test_soft_marginals(episode):
     # zero iterations -> the (clamped, renormalized) input distribution
     q0 = densecrf_device(frames[:2], probs, (22, 12, 3.1, 8, 1.8, 0), soft=True)
     np.testing.assert_allclose(q0, np.clip(probs, 1e-8, None), atol=1e-6)
+
+
+# --- Pallas streaming build (crf/fused_build.py, round 3) ---------------------
+
+
+@pytest.fixture(scope="module")
+def small_episode():
+    """32x32 frames (N=1024, tile 512) keep interpret-mode Pallas fast."""
+    frames, gt = generate_frames(3, size=32, seed=5)
+    rng = np.random.default_rng(2)
+    noisy = gt ^ (rng.random(gt.shape) < 0.08)
+    return frames, gt, noisy
+
+
+def test_pallas_build_matches_xla_build():
+    """The streamed bilateral matrix equals the XLA gram-built one (f32),
+    away from the deep-underflow isolated-pixel regime where BOTH
+    formulations are 1-ulp-unstable (rowsum ~ the 1e-20 epsilon)."""
+    import jax.numpy as jnp
+    import jax
+
+    from critic_vae_tpu.crf.device import _coords, _normalized_kernel
+    from critic_vae_tpu.crf.fused_build import build_bilateral
+
+    h = w = 16
+    frames, _ = generate_frames(2, size=h, seed=7)
+    imgs = frames.reshape(2, h * w, 3)
+    w1, alpha, beta = 22.0, 12.0, 3.1
+    mb_p = np.asarray(build_bilateral(
+        jnp.asarray(imgs), jnp.float32(w1), jnp.float32(alpha),
+        jnp.float32(beta), h=h, w=w, out_dtype="float32",
+    ))
+    xy = _coords(h, w)
+    mb_x = np.asarray(jax.vmap(
+        lambda im: _normalized_kernel(
+            xy / alpha, im.astype(jnp.float32) / beta, w1, jnp.float32,
+            diag_margin=0.25 / alpha**2)
+    )(jnp.asarray(imgs)))
+    # diagonal exactly zero in the streamed build too
+    assert np.abs(np.diagonal(mb_p, axis1=1, axis2=2)).max() == 0.0
+    # stable region: rows with non-degenerate normalizers. The gram
+    # formulation carries ~1e-3 relative rounding in the exponent at color
+    # magnitudes ~1e4 (catastrophic cancellation the explicit-diff build
+    # does not have), so per-element tolerances are relative.
+    assert np.quantile(np.abs(mb_p - mb_x), 0.999) < 5e-2
+    sig = np.abs(mb_x) > 1e-3
+    rel = np.abs(mb_p - mb_x)[sig] / np.abs(mb_x)[sig]
+    assert np.quantile(rel, 0.99) < 2e-2
+
+
+def test_pallas_build_segmentation_matches_xla(small_episode):
+    frames, gt, noisy = small_episode
+    ref = refine_masks_device(frames, noisy, PARAMS, build="xla",
+                              compute_dtype="float32")
+    f32 = refine_masks_device(frames, noisy, PARAMS, build="pallas",
+                              compute_dtype="float32")
+    bf16 = refine_masks_device(frames, noisy, PARAMS, build="pallas",
+                               compute_dtype="bfloat16")
+    assert (f32 == ref).mean() >= 0.999
+    assert (bf16 == ref).mean() >= 0.999
+
+
+def test_pallas_build_auto_dtype_resolution(small_episode, monkeypatch):
+    """build='pallas' + compute_dtype='auto' -> bf16 matrix; still agrees."""
+    frames, gt, noisy = small_episode
+    ref = refine_masks_device(frames, noisy, PARAMS, build="xla")
+    auto = refine_masks_device(frames, noisy, PARAMS, build="pallas")
+    assert (auto == ref).mean() >= 0.999
+
+
+def test_pallas_build_requires_divisible_n():
+    frames, _ = generate_frames(1, size=20, seed=0)  # N=400, not /128
+    masks = np.zeros((1, 20, 20), bool)
+    with pytest.raises(ValueError, match="divisible by 128"):
+        refine_masks_device(frames, masks, PARAMS, build="pallas")
+
+
+def test_build_env_override(small_episode, monkeypatch):
+    frames, gt, noisy = small_episode
+    monkeypatch.setenv("CRITIC_VAE_TPU_CRF_BUILD", "pallas")
+    forced = refine_masks_device(frames, noisy, PARAMS, build="xla")
+    monkeypatch.delenv("CRITIC_VAE_TPU_CRF_BUILD")
+    ref = refine_masks_device(frames, noisy, PARAMS, build="xla")
+    assert (forced == ref).mean() >= 0.999

@@ -10,6 +10,8 @@ from critic_vae_tpu.data.episode import load_episode
 from critic_vae_tpu.models.vae import init_vae_params
 from tests.conftest import requires_reference
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 @pytest.fixture(scope="module")
 def vae():
@@ -336,3 +338,42 @@ def test_train_log_images_writes_probe_strip(tmp_path, critic_params):
         if v.metadata.plugin_data.plugin_name == "images"
     ]
     assert tags == [(32, "recon_probe"), (64, "recon_probe")]
+
+
+def test_load_dataset_pickle_peak_memory(tmp_path):
+    """Reference-scale ingestion hygiene (round-3): loading the reference's
+    pickle format must peak at ~input+output, not the 3x of the naive
+    stack->transpose->astype chain. Measured in a clean subprocess via
+    ru_maxrss on a ~190 MB synthetic pickle."""
+    import pickle
+    import subprocess
+    import sys
+
+    n, h, w = 4000, 64, 64
+    frame = np.zeros((1, 3, h, w), np.float32)
+    path = tmp_path / "recon.pkl"
+    with open(path, "wb") as f:
+        # distinct arrays (shared buffers would understate the load cost)
+        pickle.dump([frame + np.float32(i % 7) for i in range(n)], f)
+    data_mb = n * 3 * h * w * 4 / 1e6
+
+    child = f"""
+import resource, sys
+sys.path.insert(0, {str(REPO)!r})
+from critic_vae_tpu.pipelines.dataset import load_dataset
+d = load_dataset({str(path)!r})
+assert d.shape == ({n}, {h}, {w}, 3) and d.dtype == "float32"
+assert float(d[6,0,0,0]) == 6.0 and float(d[7,0,0,0]) == 0.0
+print(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss)
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", child], capture_output=True, text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    peak_mb = int(out.stdout.strip().splitlines()[-1]) / 1024  # KiB on linux
+    # Bound: ~2x input (unpickle transiently holds bytes+array per frame;
+    # the freed 49 KB blocks stay in the malloc arena) + output + the
+    # ~165 MB jax-import baseline, with slack. Measured on this host:
+    # new path 720 MB, old stack->transpose->astype chain 906 MB.
+    assert peak_mb < 2.4 * data_mb + 330, (peak_mb, data_mb)

@@ -155,3 +155,39 @@ def test_remat_step_matches_plain(critic_params, batch):
     )
     for x, y in zip(jax.tree.leaves(a1.params), jax.tree.leaves(a2.params)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
+@requires_reference
+def test_value_consistency_term(critic_params, batch):
+    """Opt-in critic-grounded conditioning loss (round 3): with weight > 0
+    the step reports a finite vc_loss folded into total_loss, trains to
+    different parameters than the plain objective, and weight 0 reproduces
+    the reference-faithful objective exactly."""
+    s0, tx = init_train_state(jax.random.key(0))
+    plain = make_train_step(critic_params, tx, donate=False)
+    vc = make_train_step(critic_params, tx, donate=False,
+                         value_consistency=0.1)
+    b = jnp.asarray(batch)
+    a1, m1 = plain(jax.tree.map(jnp.copy, s0), b)
+    a2, m2 = vc(jax.tree.map(jnp.copy, s0), b)
+    assert "vc_loss" not in m1
+    assert np.isfinite(float(m2["vc_loss"])) and float(m2["vc_loss"]) > 0
+    np.testing.assert_allclose(
+        float(m2["total_loss"]),
+        float(m2["recon_loss"]) + float(m2["kld"]) + float(m2["vc_loss"]),
+        rtol=1e-6,
+    )
+    # the auxiliary gradient actually moves the decoder
+    diffs = [
+        np.abs(np.asarray(x) - np.asarray(y)).max()
+        for x, y in zip(jax.tree.leaves(a1.params), jax.tree.leaves(a2.params))
+    ]
+    assert max(diffs) > 0
+
+    # weight 0 == the plain objective, bit-for-bit
+    vc0 = make_train_step(critic_params, tx, donate=False,
+                          value_consistency=0.0)
+    a3, m3 = vc0(jax.tree.map(jnp.copy, s0), b)
+    np.testing.assert_array_equal(
+        np.asarray(m1["total_loss"]), np.asarray(m3["total_loss"])
+    )
