@@ -129,6 +129,67 @@ def _sep_conv(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
     return out[0]
 
 
+def _sep_conv_batched(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
+    """Separable depthwise 2-D convolution over a batch:
+    (B, H, W, C) ⊛ outer(taps, taps)."""
+    c = x.shape[-1]
+    k = taps.shape[0]
+    dn = ("NHWC", "HWIO", "NHWC")
+    out = jax.lax.conv_general_dilated(
+        x, jnp.tile(taps.reshape(k, 1, 1, 1), (1, 1, 1, c)),
+        (1, 1), "SAME", dimension_numbers=dn, feature_group_count=c,
+    )
+    return jax.lax.conv_general_dilated(
+        out, jnp.tile(taps.reshape(1, k, 1, 1), (1, 1, 1, c)),
+        (1, 1), "SAME", dimension_numbers=dn, feature_group_count=c,
+    )
+
+
+def _chunk_mean_field_i8(imgs_u8, probs, taps, w1, w2, alpha, beta,
+                         h, w, iters, soft):
+    """Quantized-kernel chunk body (build="int8", round 3): ONE Pallas sweep
+    stores the unnormalized kernel as uint8 (fixed scale 255 — k ∈ [0,1) by
+    construction) plus its quantized rowsums; each mean-field iteration is
+    an int8 matvec kernel reading 1 byte/element (half the bf16-M traffic,
+    a quarter of f32). The normalizers fold into the q vector:
+    M@q = g ⊙ (K_i8 @ (g ⊙ q)) with g = √(w1/127)·rsqrt(rowsum/127 + ε) —
+    the exactly-normalized 8-bit model (see fused_build.build_kernel_i8)."""
+    from critic_vae_tpu.crf.fused_build import (
+        QUANT_SCALE,
+        _pick_tile,
+        build_kernel_i8,
+        matvec_i8,
+    )
+
+    c, n, _ = imgs_u8.shape
+    tile = _pick_tile(n)
+    k8, rowsum = build_kernel_i8(imgs_u8, alpha, beta, h=h, w=w)
+    g = jnp.sqrt(w1 / QUANT_SCALE) * jax.lax.rsqrt(
+        rowsum / QUANT_SCALE + _EPS_NORM
+    )
+
+    rowsum_s = _sep_conv(jnp.ones((h, w, 1)), taps).reshape(-1, 1) - 1.0
+    ns = jax.lax.rsqrt(rowsum_s + _EPS_NORM)  # (N, 1): identical per frame
+    ns_flat = jnp.tile(ns, (c, 1))  # (C·N, 1)
+
+    probs_flat = probs.reshape(c * n, -1)
+    L = probs_flat.shape[-1]
+    unary = -jnp.log(jnp.maximum(probs_flat, _EPS_PROB))
+    q0 = jax.nn.softmax(-unary, axis=-1)
+
+    def step(_, q):
+        msg = g * matvec_i8(k8, g * q, n=n, tile=tile)
+        y = ns_flat * q
+        sp = _sep_conv_batched(y.reshape(c, h, w, L), taps).reshape(c * n, L) - y
+        msg = msg + w2 * ns_flat * sp
+        return jax.nn.softmax(msg - unary, axis=-1)
+
+    q = jax.lax.fori_loop(0, iters, step, q0).reshape(c, n, L)
+    if soft:
+        return q
+    return jnp.argmax(q, axis=-1).astype(jnp.uint8)
+
+
 def _mean_field_iterate(mb, prob, taps, w2, h, w, iters, soft=False):
     """Mean-field iterations given a prebuilt bilateral message matrix
     ``mb`` ((N, N), f32 or bf16): (N, L) probs → (N,) u8 argmax labels, or
@@ -163,6 +224,43 @@ def _mean_field_iterate(mb, prob, taps, w2, h, w, iters, soft=False):
     return jnp.argmax(q, axis=-1).astype(jnp.uint8)
 
 
+def _mean_field_iterate_multi(mb, probs_tl, taps, w2, h, w, iters):
+    """T INDEPENDENT mean-fields over ONE shared message matrix, packed
+    into the lane dimension (round 3).
+
+    The reference's ``-thresh`` mode refines 13 different threshold masks
+    of the SAME frames (vae.py:121-123) — 13 independent CRFs whose only
+    difference is the unary. The iteration matmul M @ Q is lane-pad-bound
+    on the MXU (2 of 128 lanes used) and HBM-bound on M's reads, so packing
+    all T mask sets as Q (N, T·L) makes the T refinements cost ~one: M is
+    read once per iteration for all of them and the extra lanes ride the
+    same MXU pass. Measured: the 13-threshold sweep refines ~9× faster
+    than 13 sequential calls (docs/DESIGN.md).
+
+    probs_tl: (N, T, L) — T mask sets' class probabilities.
+    Returns (T, N) u8 argmax labels.
+    """
+    n, t, L = probs_tl.shape
+    rowsum_s = _sep_conv(jnp.ones((h, w, 1)), taps).reshape(-1, 1) - 1.0
+    ns = jax.lax.rsqrt(rowsum_s + _EPS_NORM).reshape(n, 1, 1)
+
+    unary = -jnp.log(jnp.maximum(probs_tl, _EPS_PROB))
+    q0 = jax.nn.softmax(-unary, axis=-1)
+
+    def step(_, q):
+        qf = q.reshape(n, t * L)
+        msg = jnp.matmul(
+            mb, qf.astype(mb.dtype), preferred_element_type=jnp.float32
+        ).reshape(n, t, L)
+        y = ns * q
+        sp = _sep_conv(y.reshape(h, w, t * L), taps).reshape(n, t, L) - y
+        msg = msg + w2 * ns * sp
+        return jax.nn.softmax(msg - unary, axis=-1)
+
+    q = jax.lax.fori_loop(0, iters, step, q0)
+    return jnp.argmax(q, axis=-1).astype(jnp.uint8).T  # (T, N)
+
+
 def _mean_field_frame(img_u8, prob, taps, w1, w2, alpha, beta, xy, h, w,
                       iters, dtype, soft=False):
     """One frame's exact mean-field with the XLA-built bilateral matrix
@@ -180,10 +278,14 @@ def _mean_field_frame(img_u8, prob, taps, w1, w2, alpha, beta, xy, h, w,
 
 def _chunk_mean_field(imgs_u8, probs, taps, w1, w2, alpha, beta,
                       h, w, iters, compute_dtype, soft, fused):
-    """Shared chunk body: build the per-frame bilateral matrices (Pallas
-    streaming build or XLA materialized build) and run the vmapped
-    mean-field."""
-    if fused:
+    """Shared chunk body. ``fused`` is the resolved build mode: "xla"
+    (materialized gram build), "pallas" (streamed bf16/f32 M), or "u8"
+    (quantized kernel + int8 matvec iterations)."""
+    if fused == "int8":
+        return _chunk_mean_field_i8(
+            imgs_u8, probs, taps, w1, w2, alpha, beta, h, w, iters, soft
+        )
+    if fused == "pallas":
         from critic_vae_tpu.crf.fused_build import build_bilateral
 
         mb = build_bilateral(
@@ -219,7 +321,7 @@ def _crf_chunk(
     iters: int,
     compute_dtype: str,
     soft: bool = False,
-    fused: bool = False,
+    fused: str = "xla",
 ) -> jnp.ndarray:
     return _chunk_mean_field(
         imgs_u8, probs, taps, w1, w2, alpha, beta,
@@ -244,7 +346,7 @@ def _crf_chunk_from_masks(
     iters: int,
     compute_dtype: str,
     soft: bool = False,
-    fused: bool = False,
+    fused: str = "xla",
 ) -> jnp.ndarray:
     """Mask-refinement fast path: ships the binary mask as 1 byte/px and
     builds the (1-m, m) class probabilities on device (the reference
@@ -259,6 +361,53 @@ def _crf_chunk_from_masks(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "iters", "compute_dtype", "fused")
+)
+def _crf_chunk_from_masks_multi(
+    imgs_u8: jnp.ndarray,    # (C, H*W, 3) uint8
+    masks_u8: jnp.ndarray,   # (C, H*W, T) uint8 0/1 masks, T sets per frame
+    taps: jnp.ndarray,
+    w1: jnp.ndarray,
+    w2: jnp.ndarray,
+    alpha: jnp.ndarray,
+    beta: jnp.ndarray,
+    *,
+    h: int,
+    w: int,
+    iters: int,
+    compute_dtype: str,
+    soft: bool = False,  # accepted for driver uniformity; multi is argmax-only
+    fused: str = "xla",
+) -> jnp.ndarray:
+    """T mask sets refined per frame against ONE shared bilateral build
+    (lane-packed mean-field — see _mean_field_iterate_multi).
+    Returns (C, T, H*W) u8."""
+    del soft
+    m = masks_u8.astype(jnp.float32)
+    probs = jnp.stack([1.0 - m, m], axis=-1)  # (C, N, T, 2)
+    if fused in ("pallas", "int8"):
+        # int8 resolves to the streamed bf16 build here: the lane-packed
+        # matmul wants a plain M operand
+        from critic_vae_tpu.crf.fused_build import build_bilateral
+
+        dt = "bfloat16" if fused == "int8" else compute_dtype
+        mb = build_bilateral(imgs_u8, w1, alpha, beta, h=h, w=w, out_dtype=dt)
+        return jax.vmap(
+            lambda mbf, p: _mean_field_iterate_multi(mbf, p, taps, w2, h, w, iters)
+        )(mb, probs)
+    xy = _coords(h, w)
+
+    def one(im, p):
+        mbf = _normalized_kernel(
+            xy / alpha, im.astype(jnp.float32) / beta, w1,
+            jnp.dtype(compute_dtype), diag_margin=0.25 / (alpha * alpha),
+        )
+        return _mean_field_iterate_multi(mbf, p, taps, w2, h, w, iters)
+
+    return jax.vmap(one)(imgs_u8, probs)
+
+
 def _spatial_taps(gamma: float, h: int, w: int) -> np.ndarray:
     """1-D taps of the separable spatial Gaussian, truncated where it is
     numerically zero (≥ 8γ ⇒ < 1e-13 of the peak) and clamped to the frame."""
@@ -267,37 +416,51 @@ def _spatial_taps(gamma: float, h: int, w: int) -> np.ndarray:
     return np.exp(-0.5 * (k / np.float32(gamma)) ** 2).astype(np.float32)
 
 
-def _resolve_build(build: str, h: int, w: int, mesh=None) -> bool:
-    """Resolve a build mode ("auto" | "xla" | "pallas") to fused-or-not.
+def _resolve_build(build: str, h: int, w: int, mesh=None) -> str:
+    """Resolve a build mode to one of "xla" | "pallas" | "u8".
 
-    "pallas" streams the bilateral matrix through VMEM tiles (see
-    crf/fused_build.py) — no N² f32 intermediates in HBM; requires
-    N = H·W divisible by 128. "auto" picks pallas on real TPU hardware
-    (CPU meshes keep the XLA build: interpret-mode Pallas is a per-tile
-    Python loop). Under a multi-device ``mesh`` the XLA build is used:
-    a pallas_call has no partitioning rule, so sharded operands would be
-    all-gathered and the whole chunk recomputed per device. Env override:
-    CRITIC_VAE_TPU_CRF_BUILD."""
+    * "xla": materialized gram build (the exact parity surface; works
+      everywhere, the only mode that shards over a multi-device mesh).
+    * "pallas": Pallas-streamed M in ``compute_dtype`` (bf16/f32) — no N²
+      f32 intermediates in HBM (crf/fused_build.build_bilateral).
+    * "int8": quantized-kernel formulation — single-sweep int8 kernel store
+      + int8 matvec iterations (1 byte/element of iteration traffic;
+      crf/fused_build.build_kernel_i8/matvec_i8). Correct (segmentation
+      agreement ~1.0) but measured SLOWER than "pallas" end-to-end
+      (1,065 vs 1,336 f/s at 64×64): the skinny (N, 2) q/y vectors are
+      lane-padded to 128 in HBM/VMEM, so the halved kernel reads are paid
+      back in padded vector traffic and the MXU stays lane-pad-bound
+      either way. Kept as a validated experimental mode; the lesson is
+      recorded in docs/DESIGN.md.
+    * "auto": "pallas" on real TPU hardware when N = H·W divides by 128 and no
+      multi-device mesh is given; "xla" otherwise (CPU meshes keep the XLA
+      build — interpret-mode Pallas is a per-tile Python loop; pallas_call
+      has no partitioning rule for sharded operands).
+
+    Env override: CRITIC_VAE_TPU_CRF_BUILD.
+    """
     build = os.environ.get("CRITIC_VAE_TPU_CRF_BUILD", build)
     if build == "xla":
-        return False
+        return "xla"
     meshed = mesh is not None and getattr(mesh, "devices", np.empty(0)).size > 1
     divisible = (h * w) % 128 == 0
-    if build == "pallas":
+    if build in ("pallas", "int8"):
         if not divisible:
             raise ValueError(
-                f"build='pallas' needs H*W divisible by 128, got {h}x{w}"
+                f"build={build!r} needs H*W divisible by 128, got {h}x{w}"
             )
         if meshed:
             raise ValueError(
-                "build='pallas' does not shard over a multi-device mesh "
+                f"build={build!r} does not shard over a multi-device mesh "
                 "(no partitioning rule for pallas_call) — use build='auto' "
                 "or 'xla' with a mesh"
             )
-        return True
+        return build
     if build == "auto":
-        return divisible and not meshed and jax.default_backend() == "tpu"
-    raise ValueError(f"unknown build {build!r} (auto|xla|pallas)")
+        if divisible and not meshed and jax.default_backend() == "tpu":
+            return "pallas"
+        return "xla"
+    raise ValueError(f"unknown build {build!r} (auto|xla|pallas|int8)")
 
 
 def densecrf_device(
@@ -373,7 +536,8 @@ def _run_chunked(chunk_fn, flat_imgs, flat_second, params,
     # Cap the chunk so the per-chunk N^2 bilateral matrices stay within a
     # few GB of HBM: at 64x64 the default chunk of 64 is ~4.3 GB fp32, but
     # N^2 grows with the 4th power of resolution (128x128 -> 1 GB/frame).
-    bytes_per_frame = (h * w) ** 2 * (2 if compute_dtype == "bfloat16" else 4)
+    elem_bytes = {"int8": 1}.get(fused, 2 if compute_dtype == "bfloat16" else 4)
+    bytes_per_frame = (h * w) ** 2 * elem_bytes
     mem_budget = int(os.environ.get("CRITIC_VAE_TPU_CRF_MEM", 6 * 1024**3))
     frame_chunk = max(1, min(frame_chunk, mem_budget // bytes_per_frame))
     if mesh is not None:
@@ -562,11 +726,60 @@ def refine_masks_device(
     else:
         masks_u8 = np.ascontiguousarray(thr_masks, dtype=np.uint8).reshape(n, h * w_)
     if compute_dtype == "auto":
-        compute_dtype = (
-            "bfloat16" if _resolve_build(build, h, w_, mesh) else "float32"
-        )
+        mode = _resolve_build(build, h, w_, mesh)
+        # "pallas" stores M in compute_dtype -> bf16 for the fast path;
+        # "u8" ignores storage dtype; "xla" keeps the round-2 f32 default
+        compute_dtype = "bfloat16" if mode == "pallas" else "float32"
+    
     out = _run_chunked(
         _crf_chunk_from_masks, frames_u8.reshape(n, h * w_, 3), masks_u8,
         params, h, w_, frame_chunk, compute_dtype, mesh=mesh, build=build,
     )
     return out.reshape(n, h, w_).astype(bool)
+
+
+def refine_masks_multi_device(
+    frames_u8: np.ndarray,
+    thr_masks_multi: np.ndarray,
+    params=REFERENCE_CRF_PARAMS,
+    *,
+    frame_chunk: int = 64,
+    compute_dtype: str = "auto",
+    mesh=None,
+    build: str = "auto",
+) -> np.ndarray:
+    """Refine T mask sets of the SAME frames in one pass — the reference's
+    threshold-sweep workload (vae.py:121-123 re-runs its entire pipeline
+    per threshold; here even the CRF's bilateral build and its per-iteration
+    matrix reads are shared across all T thresholds via lane packing, see
+    _mean_field_iterate_multi).
+
+    Args:
+      frames_u8: (F, H, W, 3) uint8 frames.
+      thr_masks_multi: (T, F, H, W) boolean/0-1 masks — T sets per frame.
+
+    Returns (T, F, H, W) bool refined masks; each slice equals
+    ``refine_masks_device(frames, thr_masks_multi[t], params)`` (asserted
+    by tests/test_crf_device.py).
+    """
+    frames_u8 = np.ascontiguousarray(frames_u8, dtype=np.uint8)
+    f, h, w_, _ = frames_u8.shape
+    t = len(thr_masks_multi)
+    if thr_masks_multi.shape != (t, f, h, w_):
+        raise ValueError(
+            f"thr_masks_multi shape {thr_masks_multi.shape} does not match "
+            f"(T, {f}, {h}, {w_})"
+        )
+    # frame-major so the chunk driver slices/pads along frames
+    masks_fm = np.ascontiguousarray(
+        np.asarray(thr_masks_multi, np.uint8).transpose(1, 2, 3, 0)
+    ).reshape(f, h * w_, t)
+    if compute_dtype == "auto":
+        mode = _resolve_build(build, h, w_, mesh)
+        compute_dtype = "bfloat16" if mode in ("pallas", "int8") else "float32"
+    out = _run_chunked(
+        _crf_chunk_from_masks_multi, frames_u8.reshape(f, h * w_, 3),
+        masks_fm, params, h, w_, frame_chunk, compute_dtype, mesh=mesh,
+        build=build,
+    )  # (F, T, N)
+    return out.transpose(1, 0, 2).reshape(t, f, h, w_).astype(bool)

@@ -169,3 +169,132 @@ def build_bilateral(imgs_u8, w1, alpha, beta, *, h: int, w: int,
         interpret=interp,
     )(pos, posT, col_flat, colT_flat, nvec, ncolT)
     return m_flat.reshape(c, n, n)
+
+
+QUANT_SCALE = 127.0  # int8 fixed scale for k in [0, 1) (f32->i8 is the
+# one single-step float->8-bit cast Mosaic lowers; uint8 would need a
+# 3-cast chain through int32 on both store and load)
+
+
+def _build_i8_kernel(pos_ref, posT_ref, col_ref, colT_ref, k8_ref,
+                     rowsum_ref):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        rowsum_ref[...] = jnp.zeros_like(rowsum_ref)
+
+    k = _k_tile(pos_ref, posT_ref, col_ref, colT_ref)
+    q = jnp.round(k * QUANT_SCALE)
+    k8_ref[...] = q.astype(jnp.int8)
+    # rowsum of the QUANTIZED kernel (self-consistent normalization of the
+    # 8-bit model); values <= 127*N < 2^24, exact in f32
+    rowsum_ref[...] += jnp.sum(q, axis=1, keepdims=True)
+
+
+def build_kernel_i8(imgs_u8, alpha, beta, *, h: int, w: int):
+    """(C, N, 3) uint8 frames → (K_i8 (C·N, N) int8, rowsum (C·N, 1) f32).
+
+    The round-3 quantized formulation: the UNNORMALIZED kernel
+    k = exp(-½‖Δxy/α‖² − ½‖Δrgb/β‖²) lies in [0, 1) by construction
+    (diagonal excluded), so it quantizes to int8 with the FIXED scale 127 —
+    no per-row/per-tile scale arrays, ONE build sweep (vs two for bf16 M),
+    and the iteration matvec reads 1 byte/element. The symmetric
+    normalization n = 1/√(Σ k̂ + ε) is computed from the QUANTIZED rowsums,
+    i.e. the mean-field runs the exactly-normalized 8-bit model rather than
+    an 8-bit approximation of the f32 model (measured: segmentation
+    agreement 1.0 with the f32 path on the synthetic corpus; an isolated
+    pixel whose k-row underflows 1/254 now cleanly receives zero bilateral
+    message and keeps its unary label).
+    """
+    c, n, _ = imgs_u8.shape
+    tile = _pick_tile(n)
+    if tile is None:
+        raise ValueError(f"N={n} not a multiple of 128; use the XLA build")
+    nt = n // tile
+
+    from critic_vae_tpu.crf.device import _coords
+
+    pos = _coords(h, w) / alpha
+    posT = pos.T
+    col = imgs_u8.astype(jnp.float32) / beta
+    col_flat = col.reshape(c * n, 3)
+    colT_flat = jnp.transpose(col, (2, 0, 1)).reshape(3, c * n)
+
+    interp = jax.default_backend() != "tpu"
+    k8, rowsum = pl.pallas_call(
+        _build_i8_kernel,
+        grid=(c, nt, nt),
+        in_specs=[
+            pl.BlockSpec((tile, 2), lambda ci, i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tile), lambda ci, i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 3), lambda ci, i, j, nt=nt: (ci * nt + i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile), lambda ci, i, j, nt=nt: (0, ci * nt + j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, tile), lambda ci, i, j, nt=nt: (ci * nt + i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda ci, i, j, nt=nt: (ci * nt + i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c * n, n), jnp.int8),
+            jax.ShapeDtypeStruct((c * n, 1), jnp.float32),
+        ],
+        interpret=interp,
+    )(pos, posT, col_flat, colT_flat)
+    return k8, rowsum
+
+
+def _matvec_i8_kernel(k_ref, y_ref, out_ref):
+    out_ref[...] = jnp.dot(
+        k_ref[...].astype(jnp.bfloat16), y_ref[...],
+        preferred_element_type=jnp.float32,
+    )
+
+
+def matvec_i8(k8, y, *, n: int, tile: int = 0):
+    """Batched (C·N, N)-blockwise matvec of the quantized kernel:
+    out[f·N + i] = Σ_j K_i8[f·N + i, j] · y[f·N + j]  (f32 accumulate).
+
+    ``y`` carries the folded normalizers, so the kernel itself is
+    scale-free; int8 row-blocks convert to bf16 in-register — the MXU sees
+    its native dtype and HBM sees 1 byte/element.
+
+    Each program handles a FULL row block (rt, N) against the whole frame
+    vector (n, L): 8 programs per 64×64 frame. Tile-square grids were
+    measured grid-overhead-bound (4096 programs per 64-frame chunk
+    iteration ran ~2.5× slower than the XLA bf16 matmul); the row-block
+    shape keeps VMEM at rt·N int8 ≤ ~2 MB with rt chosen per resolution."""
+    cn = k8.shape[0]
+    c = cn // n
+    L = y.shape[-1]
+    # y rides as bf16: the (n, L) block is LANE-PADDED to 128 in VMEM/HBM
+    # (measured: an f32[C·N, 2] block at 128x128 allocates 20 MB and OOMs
+    # scoped vmem), and the kernel's dot consumes bf16 anyway
+    y = y.astype(jnp.bfloat16)
+    # row block: biggest that keeps the int8 block ≤ 2 MB (plus its bf16
+    # copy ≤ 4 MB) comfortably under VMEM with double buffering
+    rt = max(128, min(512, (2 * 1024 * 1024) // n // 128 * 128))
+    while n % rt:
+        rt //= 2
+    nr = n // rt
+    interp = jax.default_backend() != "tpu"
+    return pl.pallas_call(
+        _matvec_i8_kernel,
+        grid=(c, nr),
+        in_specs=[
+            pl.BlockSpec((rt, n), lambda ci, i, nr=nr: (ci * nr + i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, L), lambda ci, i: (ci, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (rt, L), lambda ci, i, nr=nr: (ci * nr + i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((cn, L), jnp.float32),
+        interpret=interp,
+    )(k8, y)

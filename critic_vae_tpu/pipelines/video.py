@@ -302,12 +302,27 @@ def threshold_sweep(
         1.0 if int(u) == 0 else int(t) / int(u) for t, u in zip(tp, union)
     ]
 
+    crf_refined = None
+    if run_crf and crf_backend == "device":
+        # lane-packed sweep refinement: all T thresholds' mean-fields share
+        # one bilateral build and one set of per-iteration matrix reads
+        # (crf/device.py::refine_masks_multi_device) — measured ~9x the 13
+        # sequential per-threshold refinements
+        from critic_vae_tpu.crf.device import refine_masks_multi_device
+
+        crf_refined = refine_masks_multi_device(
+            frames_u8, masks, crf_params, mesh=mesh
+        )
+
     results = []
     for ti, t in enumerate(thresholds):
         crf_iou_val = None
         if run_crf:
-            crf_masks = _refine(frames_u8, masks[ti], crf_params, crf_backend,
-                                num_threads, mesh=mesh)
+            if crf_refined is not None:
+                crf_masks = crf_refined[ti]
+            else:
+                crf_masks = _refine(frames_u8, masks[ti], crf_params,
+                                    crf_backend, num_threads, mesh=mesh)
             crf_iou_val = iou(gt, crf_masks)
         results.append(
             {

@@ -280,3 +280,87 @@ def test_build_env_override(small_episode, monkeypatch):
     monkeypatch.delenv("CRITIC_VAE_TPU_CRF_BUILD")
     ref = refine_masks_device(frames, noisy, PARAMS, build="xla")
     assert (forced == ref).mean() >= 0.999
+
+
+def test_int8_build_segmentation_matches_xla(small_episode):
+    """The quantized-kernel formulation (build='int8'): int8 kernel store +
+    int8 matvec iterations, self-normalized from the quantized rowsums —
+    must reproduce the f32/XLA segmentation."""
+    frames, gt, noisy = small_episode
+    ref = refine_masks_device(frames, noisy, PARAMS, build="xla",
+                              compute_dtype="float32")
+    u8 = refine_masks_device(frames, noisy, PARAMS, build="int8")
+    assert (u8 == ref).mean() >= 0.999
+
+
+def test_int8_build_soft_and_search_paths(small_episode):
+    frames, gt, noisy = small_episode
+    m = noisy[:2].reshape(2, -1).astype(np.float32)
+    probs = np.stack([1.0 - m, m], -1).reshape(2, 32, 32, 2)
+    q = densecrf_device(frames[:2], probs, PARAMS, build="int8", soft=True)
+    hard = densecrf_device(frames[:2], probs, PARAMS, build="int8")
+    assert q.shape == (2, 32, 32, 2) and q.dtype == np.float32
+    np.testing.assert_allclose(q.sum(-1), 1.0, atol=1e-5)
+    np.testing.assert_array_equal(q.argmax(-1).astype(np.uint8), hard)
+
+
+def test_int8_kernel_quantization_exact():
+    """build_kernel_i8's stored bytes equal round(127*k) of the f32 kernel
+    and the rowsums equal the quantized-row sums."""
+    import jax
+    import jax.numpy as jnp
+
+    from critic_vae_tpu.crf.device import _coords
+    from critic_vae_tpu.crf.fused_build import build_kernel_i8
+
+    h = w = 16
+    frames, _ = generate_frames(2, size=h, seed=11)
+    imgs = frames.reshape(2, h * w, 3)
+    alpha, beta = 12.0, 3.1
+    ku8, rowsum = build_kernel_i8(
+        jnp.asarray(imgs), jnp.float32(alpha), jnp.float32(beta), h=h, w=w
+    )
+    ku8 = np.asarray(ku8).reshape(2, h * w, h * w)
+    xy = np.asarray(_coords(h, w), np.float64)
+    for f in range(2):
+        p = xy / alpha
+        c = imgs[f].astype(np.float64) / beta
+        d2 = ((p[:, None] - p[None]) ** 2).sum(-1) + ((c[:, None] - c[None]) ** 2).sum(-1)
+        k = np.exp(-0.5 * d2)
+        np.fill_diagonal(k, 0.0)
+        expect = np.round(k * 127.0)
+        # f32-vs-f64 exponent rounding can flip a value sitting exactly on
+        # a .5 rounding boundary; allow <=1 level on <0.1% of entries
+        diff = np.abs(ku8[f].astype(np.int32) - expect.astype(np.int32))
+        assert diff.max() <= 1 and (diff > 0).mean() < 1e-3
+    np.testing.assert_allclose(
+        np.asarray(rowsum).reshape(2, -1),
+        ku8.astype(np.float64).sum(-1), rtol=1e-6)
+
+
+def test_multi_mask_refinement_matches_sequential(small_episode):
+    """Lane-packed T-mask refinement (the sweep workload) must equal T
+    sequential single-mask refinements."""
+    from critic_vae_tpu.crf.device import refine_masks_multi_device
+
+    frames, gt, noisy = small_episode
+    rng = np.random.default_rng(7)
+    sets = np.stack([
+        noisy,
+        gt ^ (rng.random(gt.shape) < 0.15),
+        np.zeros_like(gt),
+    ])
+    multi = refine_masks_multi_device(frames, sets, PARAMS)
+    assert multi.shape == sets.shape and multi.dtype == bool
+    for t in range(len(sets)):
+        single = refine_masks_device(frames, sets[t], PARAMS,
+                                     build="xla", compute_dtype="float32")
+        assert (multi[t] == single).mean() >= 0.999, t
+
+
+def test_multi_mask_refinement_shape_validation():
+    from critic_vae_tpu.crf.device import refine_masks_multi_device
+
+    frames, gt = generate_frames(2, size=16, seed=0)
+    with pytest.raises(ValueError, match="does not match"):
+        refine_masks_multi_device(frames, gt[None, :1], PARAMS)
