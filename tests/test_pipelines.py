@@ -61,6 +61,32 @@ def test_threshold_sweep_consistent_with_single(critic_params, synthetic_episode
 
 
 @requires_reference
+def test_threshold_sweep_device_backend_multi_refine(
+    critic_params, synthetic_episode, vae
+):
+    """The sweep's device-CRF path goes through the lane-packed
+    refine_masks_multi_device; its per-threshold IoUs must match running
+    the single-mask device refinement on each threshold's mask."""
+    from critic_vae_tpu.crf.device import refine_masks_device
+    from critic_vae_tpu.ops.iou import iou
+    from critic_vae_tpu.pipelines.video import eval_episode, threshold_sweep
+
+    params, state = vae
+    frames, gt = load_episode(synthetic_episode, episode_slice=None)
+    sweep = threshold_sweep(
+        params, state, critic_params, frames, gt, thresholds=[30, 50],
+        run_crf=True, crf_backend="device", batch_size=16,
+    )
+    for r in sweep:
+        single = eval_episode(
+            params, state, critic_params, frames, gt,
+            threshold=r["threshold"], run_crf=False, batch_size=16,
+        )
+        ref = refine_masks_device(frames, single.thr_masks)
+        assert abs(r["crf_iou"] - iou(gt, ref)) <= 0.002, r
+
+
+@requires_reference
 def test_evaluate_and_inject_images(critic_params, source_images, vae):
     from critic_vae_tpu.pipelines import evaluate as ev
 
