@@ -150,3 +150,88 @@ def test_two_process_train_matches_single_process(tmp_path, critic_params):
         sp = np.asarray([r[key] for r in sp_rows])
         mh = np.asarray([r[key] for r in mh_rows])
         np.testing.assert_allclose(mh, sp, rtol=1e-4, atol=1e-5, err_msg=key)
+
+
+_CHILD_SERVE = """
+import sys, os
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+from critic_vae_tpu.parallel.distributed import init_distributed
+ok = init_distributed({addr!r}, num_processes=2, process_id=int(sys.argv[1]))
+assert ok and len(jax.devices()) == 8
+
+import numpy as np
+from critic_vae_tpu.data.synthetic import generate_frames
+from critic_vae_tpu.models.critic import load_critic
+from critic_vae_tpu.models.vae import init_vae_params
+from critic_vae_tpu.parallel.mesh import make_mesh
+from critic_vae_tpu.pipelines.video import eval_episode
+
+frames, gt = generate_frames(24, seed={data_seed})
+critic = load_critic({critic!r})
+params, bn = init_vae_params(jax.random.key(0))
+mesh = make_mesh()
+res = eval_episode(
+    params, bn, critic, frames, gt, threshold=50, run_crf=False,
+    batch_size=8, mesh=mesh,
+)
+# every process receives the full gathered results (mesh.fetch allgathers
+# the sharded chunk outputs)
+assert res.preds.shape == (24,) and res.thr_masks.shape == gt.shape
+np.save(os.path.join({outdir!r}, f"preds_{{jax.process_index()}}.npy"), res.preds)
+np.save(os.path.join({outdir!r}, f"masks_{{jax.process_index()}}.npy"), res.thr_masks)
+sys.stdout.write(f"SERVE_OK {{jax.process_index()}} {{res.thr_iou}}\\n")
+sys.stdout.flush()
+"""
+
+
+def test_two_process_serving_matches_single_process(tmp_path, critic_params):
+    """Multi-host SERVING: eval_episode over a global 2-process x 4-device
+    mesh — exercises the process_allgather fetch path for sharded chunk
+    outputs — must match the single-process 8-device run."""
+    import jax
+
+    from critic_vae_tpu.data.synthetic import generate_frames
+    from critic_vae_tpu.models.vae import init_vae_params
+    from critic_vae_tpu.parallel.mesh import make_mesh
+    from critic_vae_tpu.pipelines.video import eval_episode
+
+    frames, gt = generate_frames(24, seed=5)
+    params, bn = init_vae_params(jax.random.key(0))
+    ref = eval_episode(
+        params, bn, critic_params, frames, gt, threshold=50, run_crf=False,
+        batch_size=8, mesh=make_mesh(),
+    )
+
+    outdir = str(tmp_path / "serve")
+    os.makedirs(outdir)
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    child = _CHILD_SERVE.format(
+        repo=REPO, addr=f"127.0.0.1:{port}", outdir=outdir, critic=CRITIC_PT,
+        data_seed=5,
+    )
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", child, str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=540)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out[-4000:]}"
+        assert f"SERVE_OK {i}" in out
+
+    for i in range(2):  # both processes hold the full, identical results
+        preds = np.load(os.path.join(outdir, f"preds_{i}.npy"))
+        masks = np.load(os.path.join(outdir, f"masks_{i}.npy"))
+        np.testing.assert_allclose(preds, ref.preds, rtol=1e-4, atol=1e-5)
+        agree = (masks == ref.thr_masks).mean()
+        assert agree >= 0.999, agree
