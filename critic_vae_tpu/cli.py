@@ -92,6 +92,14 @@ def build_parser() -> argparse.ArgumentParser:
         "trunk-free and decode(mu, v) as probability v. 0 = off "
         "(reference-faithful objective)",
     )
+    t.add_argument(
+        "--film", action="store_true",
+        help="opt-in multi-stage value conditioning: a zero-initialized "
+        "FiLM (gamma, beta) per decoder stage driven by the critic value, "
+        "widening the single-scalar-concat bottleneck the reference uses "
+        "(vae_nets.py:137). Structurally beyond the reference: film "
+        "checkpoints cannot be exported to torch",
+    )
 
     for name, help_ in (("eval", "evaluate source images (reference default mode)"),
                         ("inject", "injection ladder strips (reference: -inject)"),
@@ -274,6 +282,7 @@ def cmd_train(args) -> int:
         compute_dtype=args.dtype,
         seed=args.seed,
         value_consistency=args.value_consistency,
+        film=args.film,
         log_dir=log_dir,
         checkpoint_dir=str(cfg.paths.resolve("checkpoints")),
         resume=not args.no_resume,

@@ -78,10 +78,15 @@ def save_pytree(path: str, tree: Any) -> None:
 def load_pytree(path: str, like: Any) -> Any:
     """Load arrays saved by :func:`save_pytree` into the structure of ``like``.
 
-    Raises (never silently skips) on missing keys or shape mismatch.
+    Raises (never silently skips) on missing keys, shape mismatch, or
+    stored arrays the ``like`` structure has no slot for — an extra key
+    means the artifact was produced by a structurally different model
+    (e.g. a FiLM-conditioned decoder loaded as a plain one) and dropping
+    it would silently change behavior.
     """
     with np.load(path) as data:
         stored = dict(data)
+    unused = set(stored)
     leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(like)
     new_leaves = []
     for path_entries, leaf in leaves_with_path:
@@ -91,6 +96,7 @@ def load_pytree(path: str, like: Any) -> Any:
         )
         if key not in stored:
             raise KeyError(f"checkpoint {path} is missing leaf {key!r}")
+        unused.discard(key)
         arr = stored[key]
         if _is_prng_key(leaf):
             new_leaves.append(
@@ -109,6 +115,13 @@ def load_pytree(path: str, like: Any) -> Any:
                 f"expected {expected_dtype}"
             )
         new_leaves.append(arr)
+    if unused:
+        raise ValueError(
+            f"checkpoint {path} carries {len(unused)} leaves the target "
+            f"structure has no slot for (e.g. {sorted(unused)[:3]}); loading "
+            "would silently drop them — the artifact belongs to a "
+            "structurally different model"
+        )
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 

@@ -77,8 +77,19 @@ def _init_linear(key, cin, cout):
 def init_vae_params(
     key: jax.Array, dims: Tuple[int, ...] = ENCODER_DIMS, channels: int = 3,
     latent_dim: int = LATENT_DIM, bottleneck: int = BOTTLENECK,
+    film: bool = False,
 ) -> Tuple[Params, State]:
-    """Initialize VAE params + BN state (weight dists match torch defaults)."""
+    """Initialize VAE params + BN state (weight dists match torch defaults).
+
+    ``film=True`` adds the opt-in multi-stage value-conditioning pathway
+    (round 3, beyond the reference): a zero-initialized linear per decoder
+    stage mapping the scalar critic value to per-channel (gamma, beta)
+    FiLM modulation, applied pre-ReLU after decoder convs 0-3. Zero init
+    makes the film model *exactly* the baseline at step 0; the pathway is
+    purely learned. The reference's only conditioning is the one scalar
+    concatenated onto the 32-d latent (vae_nets.py:137,143) — the round-2
+    ablations isolated that bottleneck as the mask-quality limiter
+    (docs/RESULTS.md)."""
     keys = jax.random.split(key, 16)
     enc: Params = {}
     cin = channels
@@ -97,6 +108,12 @@ def init_vae_params(
                 (dims[0], dims[0]), (dims[0], channels)]
     for i, (ci, co) in enumerate(dec_dims):
         dec[f"conv{i}"] = _init_conv(keys[7 + i], 5, 5, ci, co)
+    if film:
+        for i, (_, co) in enumerate(dec_dims[:4]):
+            dec[f"film{i}"] = {
+                "w": jnp.zeros((1, 2 * co), jnp.float32),
+                "b": jnp.zeros((2 * co,), jnp.float32),
+            }
 
     state: State = {
         f"bn{i}": {
@@ -172,6 +189,15 @@ def reparametrize(key: jax.Array, mu: jnp.ndarray, logvar: jnp.ndarray) -> jnp.n
     return mu + eps * std
 
 
+def _film(x, p, value):
+    """Per-channel FiLM modulation from the scalar value (pre-activation):
+    ``x·(1 + gamma) + beta`` with (gamma, beta) = Linear(value). Zero-init
+    params make this the identity (see :func:`init_vae_params` film=True)."""
+    gb = value.astype(jnp.float32) @ p["w"] + p["b"]  # (B, 2C)
+    gamma, beta = jnp.split(gb.astype(x.dtype), 2, axis=1)
+    return x * (1 + gamma[:, None, None, :]) + beta[:, None, None, :]
+
+
 def decode(
     params: Params, z: jnp.ndarray, value: jnp.ndarray, *, fused: bool = True,
     apply_tanh: bool = True,
@@ -182,7 +208,10 @@ def decode(
       params: full VAE param pytree.
       z: (B, 32) latents.
       value: (B,) or (B, 1) critic values, concatenated onto the latent
-        (the defining trick of the reference — vae_nets.py:143).
+        (the defining trick of the reference — vae_nets.py:143). When the
+        decoder carries ``film{i}`` params (opt-in, init_vae_params
+        film=True), the value additionally FiLM-modulates each decoder
+        stage pre-ReLU.
       fused: use the phase-decomposed upsample+conv path (2.1× fewer decoder
         FLOPs, no upsampled tensors in HBM — ops/upconv.py). Numerically
         equal to the literal repeat-then-conv graph up to f32 reassociation.
@@ -213,15 +242,21 @@ def decode(
     # (vae_nets.py:116-135). ReLU commutes with nearest-upsampling, so each
     # upsample→conv pair fuses into 4 small phase convs.
     if fused:
-        x = jax.nn.relu(_conv5_same(x, dec["conv0"]["w"], dec["conv0"]["b"]))
+        x = _conv5_same(x, dec["conv0"]["w"], dec["conv0"]["b"])
+        if "film0" in dec:
+            x = _film(x, dec["film0"], value)
+        x = jax.nn.relu(x)
         for i in (1, 2, 3):
-            x = jax.nn.relu(
-                upsample2_conv5(x, dec[f"conv{i}"]["w"], dec[f"conv{i}"]["b"])
-            )
+            x = upsample2_conv5(x, dec[f"conv{i}"]["w"], dec[f"conv{i}"]["b"])
+            if f"film{i}" in dec:
+                x = _film(x, dec[f"film{i}"], value)
+            x = jax.nn.relu(x)
         x = upsample2_conv5(x, dec["conv4"]["w"], dec["conv4"]["b"])
         return jnp.tanh(x) if apply_tanh else x
     for i in range(4):
         x = _conv5_same(x, dec[f"conv{i}"]["w"], dec[f"conv{i}"]["b"])
+        if f"film{i}" in dec:
+            x = _film(x, dec[f"film{i}"], value)
         x = jax.nn.relu(x)
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # nearest ×2
     x = _conv5_same(x, dec["conv4"]["w"], dec["conv4"]["b"])
@@ -348,7 +383,20 @@ def vae_state_dicts_to_torch(
     (out, in) linears, BN running stats + ``num_batches_tracked``), so
     weights trained here load into the reference with
     ``module.load_state_dict(torch.load(path))`` (vae_utility.py:354-355).
+
+    FiLM-conditioned models (init_vae_params film=True) cannot be exported:
+    the reference decoder has no counterpart for the per-stage modulation,
+    and silently dropping it would export a model that decodes differently
+    — raise loudly instead.
     """
+    film_keys = [k for k in params["decoder"] if k.startswith("film")]
+    if film_keys:
+        raise ValueError(
+            f"decoder carries FiLM conditioning params {sorted(film_keys)}; "
+            "the torch reference architecture (vae_nets.py:116-147) cannot "
+            "represent them — export only non-film models"
+        )
+
     def conv(p):
         return np.transpose(np.asarray(p["w"]), (3, 2, 0, 1)).copy(), np.asarray(p["b"])
 

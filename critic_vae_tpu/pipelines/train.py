@@ -61,6 +61,7 @@ def train(
     progress: bool = True,
     log_images: bool = False,
     value_consistency: float = 0.0,
+    film: bool = False,
 ) -> TrainState:
     """Train the VAE on (N, 64, 64, 3) frames — float in [0, 1] or uint8.
 
@@ -87,7 +88,7 @@ def train(
     # Collective compute (the train step, the probe recon) runs on ALL
     # processes — gating it on one would deadlock the others.
     primary = is_primary()
-    state, tx = init_train_state(jax.random.key(seed), learning_rate)
+    state, tx = init_train_state(jax.random.key(seed), learning_rate, film=film)
     if initial_state is not None:
         state = initial_state
 
@@ -97,7 +98,7 @@ def train(
         # multi-host runs — each host needs the same state to replicate)
         latest = ckpt_io.latest_checkpoint(checkpoint_dir)
         if latest is not None:
-            _validate_resume_meta(latest[0], num_samples, batch_size, seed)
+            _validate_resume_meta(latest[0], num_samples, batch_size, seed, film)
             state = ckpt_io.restore_train_state(latest[0], state)
             start_step = int(latest[1])
             if primary:
@@ -177,7 +178,8 @@ def train(
                         _save_ckpt(
                             checkpoint_dir, state, keep_checkpoints,
                             meta={"num_samples": num_samples,
-                                  "batch_size": batch_size, "seed": seed},
+                                  "batch_size": batch_size, "seed": seed,
+                                  "film": film},
                         )
                     last_ckpt_step = cur_step
             host = {
@@ -224,7 +226,7 @@ def train(
         _save_ckpt(
             checkpoint_dir, state, keep_checkpoints,
             meta={"num_samples": num_samples, "batch_size": batch_size,
-                  "seed": seed},
+                  "seed": seed, "film": film},
         )
     return state
 
@@ -291,7 +293,8 @@ def _meta_path(ckpt_path: str) -> str:
 
 
 def _validate_resume_meta(
-    ckpt_path: str, num_samples: int, batch_size: int, seed: int
+    ckpt_path: str, num_samples: int, batch_size: int, seed: int,
+    film: bool = False,
 ) -> None:
     """Refuse to resume when the deterministic shuffle replay would misalign.
 
@@ -299,7 +302,8 @@ def _validate_resume_meta(
     via steps_per_epoch = num_samples // batch_size; resuming with a different
     dataset size, batch size, or seed silently re-runs or skips data. Loud
     failure is this framework's stated convention (vs the reference's silent
-    random-weights fallback, vae_utility.py:353-357).
+    random-weights fallback, vae_utility.py:353-357). The film flag is
+    checked too: the checkpoint's param tree is structurally different.
     """
     import json
 
@@ -308,7 +312,9 @@ def _validate_resume_meta(
         return
     with open(mpath) as f:
         meta = json.load(f)
-    ours = {"num_samples": num_samples, "batch_size": batch_size, "seed": seed}
+    ours = {"num_samples": num_samples, "batch_size": batch_size, "seed": seed,
+            "film": film}
+    meta.setdefault("film", False)  # round-2 checkpoints predate the flag
     mismatched = {k: (meta[k], ours[k]) for k in ours if meta.get(k) != ours[k]}
     if mismatched:
         raise ValueError(
@@ -333,11 +339,22 @@ def load_final_weights(encoder_path: str, decoder_path: str, like_params, like_b
 
     Unlike the reference's loader, which swallows errors and silently
     continues with random weights (vae_utility.py:353-357), missing or
-    mismatched checkpoints raise.
+    mismatched checkpoints raise. FiLM-conditioned decoders (train --film)
+    are auto-detected from the artifact's keys, so eval/video transparently
+    run the stronger conditioning pathway the weights were trained with.
     """
+    like_dec = dict(like_params["decoder"])
+    with np.load(decoder_path) as stored:
+        film_shapes = {
+            k[len("params/"):]: (stored[k].shape, stored[k].dtype)
+            for k in stored.files if k.startswith("params/film")
+        }
+    for key, (shape, dtype) in film_shapes.items():
+        name, leaf = key.split("/")
+        like_dec.setdefault(name, {})[leaf] = np.zeros(shape, dtype)
     enc = ckpt_io.load_pytree(
         encoder_path, {"params": like_params["encoder"], "bn_state": like_bn}
     )
-    dec = ckpt_io.load_pytree(decoder_path, {"params": like_params["decoder"]})
+    dec = ckpt_io.load_pytree(decoder_path, {"params": like_dec})
     params = {"encoder": enc["params"], "decoder": dec["params"]}
     return params, enc["bn_state"]

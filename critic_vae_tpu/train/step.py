@@ -43,17 +43,18 @@ class TrainState:
 
 
 def init_train_state(
-    key: jax.Array, learning_rate: float = 5e-5
+    key: jax.Array, learning_rate: float = 5e-5, film: bool = False
 ) -> Tuple[TrainState, optax.GradientTransformation]:
     """Fresh VAE params + Adam state (lr 5e-5, torch-default betas/eps —
-    reference: vae.py:36, vae_parameters.py:11).
+    reference: vae.py:36, vae_parameters.py:11). ``film=True`` adds the
+    opt-in multi-stage value-conditioning params (models/vae.py).
 
     Adam is wrapped in ``optax.apply_if_finite``: a batch that yields
     non-finite gradients is skipped instead of poisoning the parameters
     forever (the reference has no such guard and silently trains to NaN when
     its MS-SSIM hits a negative fractional-power — SURVEY §2.1 #7)."""
     pkey, rkey = jax.random.split(key)
-    params, bn_state = vae_mod.init_vae_params(pkey)
+    params, bn_state = vae_mod.init_vae_params(pkey, film=film)
     tx = optax.apply_if_finite(
         optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8),
         max_consecutive_errors=100,

@@ -1,0 +1,99 @@
+"""FiLM conditioning ablation: does widening the value pathway lift the ceiling?
+
+The round-2 ablations isolated the mask-quality limiter at the decoder's
+value-conditioning pathway, and the round-3 value-consistency loss alone
+moved it only +0.002 (docs/RESULTS.md) — consistent with the pathway's
+*capacity* being the bottleneck: the reference architecture conditions on
+one scalar concatenated onto the 32-d latent (vae_nets.py:137,143), a
+33rd input to a single linear layer. The opt-in FiLM pathway
+(models/vae.py, ``train --film``) gives every decoder stage a learned
+per-channel (gamma, beta) response to the value.
+
+This experiment trains {plain, film, film+vc} at the 1× data point and
+evaluates best-threshold IoU on the same held-out 550-frame synthetic
+episode as the round-2 ablations.
+
+Run: python examples/film_experiment.py [out_dir] [configs...]
+where configs are "film", "film+vc0.1", "vc0.1", "plain", ...
+(expects a TPU; writes film_experiment.json). Results: docs/RESULTS.md.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from quality_ablations import mask_from_diff, model_diff  # noqa: E402
+
+
+def parse(cfg: str):
+    film = "film" in cfg
+    vc = 0.0
+    for part in cfg.split("+"):
+        if part.startswith("vc"):
+            vc = float(part[2:])
+    return film, vc
+
+
+def main(out_dir="/tmp/cvt-film", *configs):
+    import jax
+
+    cache = os.path.expanduser("~/.cache/critic_vae_tpu/jax")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from critic_vae_tpu.data.sampler import balanced_critic_sampler
+    from critic_vae_tpu.data.synthetic import generate_frames
+    from critic_vae_tpu.pipelines.train import train
+    from critic_vae_tpu.train.critic import labels_from_masks, train_critic
+
+    configs = list(configs) or ["plain", "film", "film+vc0.1", "film+vc0.3"]
+    os.makedirs(out_dir, exist_ok=True)
+    t0 = time.time()
+
+    # identical setup to quality_ablations' 1x point
+    ep_frames, ep_gt = generate_frames(550, seed=9999)
+    print("training critic (12800 frames, 15 epochs)...", flush=True)
+    cf, cg = generate_frames(12800, seed=0)
+    critic_params, _ = train_critic(
+        cf, labels_from_masks(cg), epochs=15, batch_size=128,
+        dropout_rate=0.3, progress=False,
+    )
+
+    def trajs():
+        for t in range(16):
+            f, _ = generate_frames(2048, seed=100 + t)
+            yield f"synth-{t}", f.astype(np.float32) / 255.0
+
+    dset = balanced_critic_sampler(trajs(), critic_params, total_images=20000)
+    print(f"collected {len(dset)} frames", flush=True)
+
+    results = {}
+    for cfg in configs:
+        film, vc = parse(cfg)
+        print(f"[{cfg}] training 7 epochs (film={film}, vc={vc})...", flush=True)
+        state = train(
+            critic_params, dset, epochs=7, batch_size=128,
+            film=film, value_consistency=vc,
+            log_dir=None, checkpoint_dir=None, resume=False, progress=False,
+        )
+        params = jax.device_get(state.params)
+        bn = jax.device_get(state.bn_state)
+        diff, maxv = model_diff(params, bn, critic_params, ep_frames)
+        results[cfg] = mask_from_diff(diff, maxv, ep_gt, crf_frames=ep_frames)
+        print(f"    {cfg}: {results[cfg]}", flush=True)
+
+    results["wall_seconds"] = round(time.time() - t0, 1)
+    with open(os.path.join(out_dir, "film_experiment.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results, indent=2))
+    return results
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

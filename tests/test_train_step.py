@@ -191,3 +191,18 @@ def test_value_consistency_term(critic_params, batch):
     np.testing.assert_array_equal(
         np.asarray(m1["total_loss"]), np.asarray(m3["total_loss"])
     )
+
+
+def test_film_training_moves_film_params(critic_params, batch):
+    """train --film: the FiLM pathway must receive gradient (zero-init does
+    not mean zero-gradient — the value input is nonzero) and the step must
+    stay finite. Combined with the vc term, the two quality options compose."""
+    state, tx = init_train_state(jax.random.key(0), film=True)
+    step = make_train_step(critic_params, tx, donate=False,
+                           value_consistency=0.1)
+    b = jnp.asarray(batch)
+    for _ in range(3):
+        state, metrics = step(state, b)
+    assert np.isfinite(float(metrics["total_loss"]))
+    film_w = np.asarray(state.params["decoder"]["film0"]["w"])
+    assert np.abs(film_w).max() > 0, "film params never received gradient"

@@ -131,3 +131,92 @@ def test_parity_vs_torch_reference():
     np.testing.assert_allclose(
         np.asarray(recon).transpose(0, 3, 1, 2), t_recon.numpy(), atol=3e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# FiLM conditioning (round 3, opt-in — beyond the reference)
+# ---------------------------------------------------------------------------
+
+
+def test_film_zero_init_is_exactly_baseline(params_state):
+    """film=True zero-initializes the modulation: decode must be bit-equal
+    to the plain decoder with the same conv/linear weights at step 0."""
+    base_params, _ = params_state
+    film_params, _ = vae_mod.init_vae_params(jax.random.key(0), film=True)
+    assert all(f"film{i}" in film_params["decoder"] for i in range(4))
+    assert "film4" not in film_params["decoder"]  # output conv unmodulated
+    z = jax.random.normal(jax.random.key(3), (5, 32))
+    v = jnp.array([0.0, 0.25, 0.5, 0.75, 1.0])
+    for fused in (True, False):
+        a = vae_mod.decode(base_params, z, v, fused=fused)
+        b = vae_mod.decode(film_params, z, v, fused=fused)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_film_modulation_is_live_and_path_consistent():
+    """Nonzero film weights must change the output, respond to the value,
+    and agree between the fused and literal decoder graphs."""
+    params, _ = vae_mod.init_vae_params(jax.random.key(0), film=True)
+    dec = dict(params["decoder"])
+    for i in range(4):
+        w = jax.random.normal(jax.random.key(10 + i), dec[f"film{i}"]["w"].shape)
+        dec[f"film{i}"] = {"w": 0.1 * w, "b": dec[f"film{i}"]["b"]}
+    params = dict(params, decoder=dec)
+    z = jax.random.normal(jax.random.key(4), (3, 32))
+    v = jnp.array([0.3, 0.6, 0.9])
+    out = vae_mod.decode(params, z, v)
+    base = vae_mod.decode(params, z, jnp.zeros_like(v))
+    assert float(jnp.abs(out - base).max()) > 1e-4  # value pathway is live
+    lit = vae_mod.decode(params, z, v, fused=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(lit), atol=2e-5)
+
+
+def test_film_export_raises():
+    params, state = vae_mod.init_vae_params(jax.random.key(0), film=True)
+    with pytest.raises(ValueError, match="FiLM"):
+        vae_mod.vae_state_dicts_to_torch(params, state)
+
+
+def test_film_weights_roundtrip_autodetect(tmp_path):
+    """save_final_weights → load_final_weights must auto-detect a FiLM
+    decoder from the artifact and restore it losslessly, even when the
+    caller's like-tree is the plain architecture."""
+    from critic_vae_tpu.pipelines.train import load_final_weights, save_final_weights
+    from critic_vae_tpu.train.step import TrainState, init_train_state
+
+    state, _ = init_train_state(jax.random.key(0), film=True)
+    dec = dict(state.params["decoder"])
+    dec["film0"] = {
+        "w": jnp.ones_like(dec["film0"]["w"]), "b": dec["film0"]["b"]
+    }
+    state = TrainState(
+        dict(state.params, decoder=dec), state.bn_state, state.opt_state,
+        state.rng, state.step,
+    )
+    enc_p = str(tmp_path / "enc.npz")
+    dec_p = str(tmp_path / "dec.npz")
+    save_final_weights(state, enc_p, dec_p)
+
+    like_params, like_bn = vae_mod.init_vae_params(jax.random.key(1))  # plain
+    params, bn = load_final_weights(enc_p, dec_p, like_params, like_bn)
+    np.testing.assert_array_equal(
+        np.asarray(params["decoder"]["film0"]["w"]),
+        np.ones_like(np.asarray(state.params["decoder"]["film0"]["w"])),
+    )
+    z = jax.random.normal(jax.random.key(5), (2, 32))
+    v = jnp.array([0.2, 0.8])
+    np.testing.assert_array_equal(
+        np.asarray(vae_mod.decode(params, z, v)),
+        np.asarray(vae_mod.decode(state.params, z, v)),
+    )
+
+
+def test_load_pytree_rejects_structural_extras(tmp_path):
+    """An artifact with leaves the target has no slot for must raise, not
+    silently drop them (the film-into-plain hazard)."""
+    from critic_vae_tpu.io import checkpoint as ckpt_io
+
+    path = str(tmp_path / "t.npz")
+    ckpt_io.save_pytree(path, {"a": np.zeros(3), "extra": np.ones(2)})
+    with pytest.raises(ValueError, match="no slot"):
+        ckpt_io.load_pytree(path, {"a": np.zeros(3)})
