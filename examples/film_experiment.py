@@ -31,12 +31,23 @@ from quality_ablations import mask_from_diff, model_diff  # noqa: E402
 
 
 def parse(cfg: str):
-    film = "film" in cfg
+    """"film+vc0.1+kld0.01" → (film=True, vc=0.1, kld=0.01). The kld token
+    probes the information-bottleneck lever: the injected value is KL-free
+    while the latent pays kld_weight·KL, so squeezing z harder should force
+    the decoder to lean on the value pathway the masks feed on."""
+    film = False
     vc = 0.0
+    kld = 1e-3  # reference default (vae_parameters.py:16)
     for part in cfg.split("+"):
-        if part.startswith("vc"):
+        if part == "film":
+            film = True
+        elif part.startswith("vc"):
             vc = float(part[2:])
-    return film, vc
+        elif part.startswith("kld"):
+            kld = float(part[3:])
+        elif part != "plain":
+            raise ValueError(f"unknown config token {part!r} in {cfg!r}")
+    return film, vc, kld
 
 
 def main(out_dir="/tmp/cvt-film", *configs):
@@ -75,11 +86,12 @@ def main(out_dir="/tmp/cvt-film", *configs):
 
     results = {}
     for cfg in configs:
-        film, vc = parse(cfg)
-        print(f"[{cfg}] training 7 epochs (film={film}, vc={vc})...", flush=True)
+        film, vc, kld = parse(cfg)
+        print(f"[{cfg}] training 7 epochs (film={film}, vc={vc}, kld={kld})...",
+              flush=True)
         state = train(
             critic_params, dset, epochs=7, batch_size=128,
-            film=film, value_consistency=vc,
+            film=film, value_consistency=vc, kld_weight=kld,
             log_dir=None, checkpoint_dir=None, resume=False, progress=False,
         )
         params = jax.device_get(state.params)
