@@ -298,13 +298,15 @@ def cmd_train(args) -> int:
 
 def _run_eval(args, second: bool, inject: bool) -> int:
     cfg = _cfg(args)
+    pri = _primary()  # multi-host: all processes compute, only primary writes
     critic_params = _critic(args, cfg)
     vae_params, bn_state = _load_vae(args, cfg, second=second)
     from critic_vae_tpu.pipelines import evaluate as ev
 
     img_dir = args.images or str(cfg.paths.resolve(cfg.paths.source_images_path))
     images, files = ev.load_image_dir(img_dir)
-    print(f"evaluating {len(files)} source images...")
+    if pri:
+        print(f"evaluating {len(files)} source images...")
     if inject:
         out_dir = args.out or str(cfg.paths.resolve(cfg.paths.inject_path))
         values = None
@@ -313,12 +315,13 @@ def _run_eval(args, second: bool, inject: bool) -> int:
 
             values = np.asarray([float(v) for v in args.values.split(",")], np.float32)
         res = ev.inject_images(vae_params, bn_state, critic_params, images, values)
-        paths = ev.save_inject_strips(res, images, out_dir)
+        paths = ev.save_inject_strips(res, images, out_dir) if pri else []
     else:
         out_dir = args.out or str(cfg.paths.resolve(cfg.paths.save_path))
         res = ev.evaluate_images(vae_params, bn_state, critic_params, images)
-        paths = ev.save_eval_strips(res, images, out_dir)
-    print(f"wrote {len(paths)} strips to {out_dir}")
+        paths = ev.save_eval_strips(res, images, out_dir) if pri else []
+    if pri:
+        print(f"wrote {len(paths)} strips to {out_dir}")
     return 0
 
 
@@ -489,8 +492,10 @@ def cmd_dataset(args) -> int:
         total_images=args.total_images,
     )
     out = args.out or str(cfg.paths.resolve(cfg.paths.save_dataset_path))
-    save_dataset(out, dset)
-    print(f"saved {len(dset)} recon frames to {out}")
+    if _primary():  # multi-host: save_dataset is a non-atomic savez —
+        # concurrent same-path writers would corrupt the artifact
+        save_dataset(out, dset)
+        print(f"saved {len(dset)} recon frames to {out}")
     return 0
 
 
@@ -501,7 +506,8 @@ def cmd_second(args) -> int:
     from critic_vae_tpu.pipelines.train import save_final_weights, train
 
     path = args.dataset_path or str(cfg.paths.resolve(cfg.paths.save_dataset_path))
-    print("training second vae...")
+    if _primary():
+        print("training second vae...")
     recon_dset = load_dataset(path)
     state = train(
         critic_params, recon_dset,
@@ -509,10 +515,11 @@ def cmd_second(args) -> int:
         faithful_msssim=not args.correct_msssim,
         seed=args.seed, log_dir=None, checkpoint_dir=None, resume=False,
     )
-    enc = str(cfg.paths.resolve(cfg.paths.second_encoder_path))
-    dec = str(cfg.paths.resolve(cfg.paths.second_decoder_path))
-    save_final_weights(state, enc, dec)
-    print(f"saved {enc} and {dec}")
+    if _primary():  # multi-host: train() is collective, weights replicated
+        enc = str(cfg.paths.resolve(cfg.paths.second_encoder_path))
+        dec = str(cfg.paths.resolve(cfg.paths.second_decoder_path))
+        save_final_weights(state, enc, dec)
+        print(f"saved {enc} and {dec}")
     return 0
 
 
@@ -559,21 +566,25 @@ def cmd_traincritic(args) -> int:
 
         frames, gt = generate_frames(args.synthetic_frames, seed=args.seed)
     labels = labels_from_masks(gt)
-    print(f"training critic on {len(frames)} frames ({labels.mean():.0%} positive)...")
+    if _primary():
+        print(f"training critic on {len(frames)} frames ({labels.mean():.0%} positive)...")
     params, loss = train_critic(
         frames, labels, epochs=args.epochs, batch_size=args.batch_size,
         learning_rate=args.lr, dropout_rate=args.dropout, seed=args.seed,
     )
     acc = critic_accuracy(params, frames, labels)
-    out = args.out or str(cfg.paths.resolve("saved-networks/critic.npz"))
-    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
-    save_critic(out, params)
-    print(f"final loss={loss:.4f} train acc={acc:.3f}; saved {out}")
+    if _primary():  # multi-host: only the primary persists the weights
+        out = args.out or str(cfg.paths.resolve("saved-networks/critic.npz"))
+        os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+        save_critic(out, params)
+        print(f"final loss={loss:.4f} train acc={acc:.3f}; saved {out}")
     return 0
 
 
 def cmd_export(args) -> int:
     cfg = _cfg(args)
+    if not _primary():  # multi-host: export is pure IO, no collectives
+        return 0
     from critic_vae_tpu.io.legacy_pt import save_torch_pt
 
     wrote = []

@@ -148,7 +148,7 @@ def _sep_conv_batched(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
 def _chunk_mean_field_i8(imgs_u8, probs, taps, w1, w2, alpha, beta,
                          h, w, iters, soft):
     """Quantized-kernel chunk body (build="int8", round 3): ONE Pallas sweep
-    stores the unnormalized kernel as uint8 (fixed scale 255 — k ∈ [0,1) by
+    stores the unnormalized kernel as int8 (fixed scale 127 — k ∈ [0, 1] by
     construction) plus its quantized rowsums; each mean-field iteration is
     an int8 matvec kernel reading 1 byte/element (half the bf16-M traffic,
     a quarter of f32). The normalizers fold into the q vector:
@@ -156,13 +156,11 @@ def _chunk_mean_field_i8(imgs_u8, probs, taps, w1, w2, alpha, beta,
     the exactly-normalized 8-bit model (see fused_build.build_kernel_i8)."""
     from critic_vae_tpu.crf.fused_build import (
         QUANT_SCALE,
-        _pick_tile,
         build_kernel_i8,
         matvec_i8,
     )
 
     c, n, _ = imgs_u8.shape
-    tile = _pick_tile(n)
     k8, rowsum = build_kernel_i8(imgs_u8, alpha, beta, h=h, w=w)
     g = jnp.sqrt(w1 / QUANT_SCALE) * jax.lax.rsqrt(
         rowsum / QUANT_SCALE + _EPS_NORM
@@ -178,7 +176,7 @@ def _chunk_mean_field_i8(imgs_u8, probs, taps, w1, w2, alpha, beta,
     q0 = jax.nn.softmax(-unary, axis=-1)
 
     def step(_, q):
-        msg = g * matvec_i8(k8, g * q, n=n, tile=tile)
+        msg = g * matvec_i8(k8, g * q, n=n)
         y = ns_flat * q
         sp = _sep_conv_batched(y.reshape(c, h, w, L), taps).reshape(c * n, L) - y
         msg = msg + w2 * ns_flat * sp
@@ -279,7 +277,7 @@ def _mean_field_frame(img_u8, prob, taps, w1, w2, alpha, beta, xy, h, w,
 def _chunk_mean_field(imgs_u8, probs, taps, w1, w2, alpha, beta,
                       h, w, iters, compute_dtype, soft, fused):
     """Shared chunk body. ``fused`` is the resolved build mode: "xla"
-    (materialized gram build), "pallas" (streamed bf16/f32 M), or "u8"
+    (materialized gram build), "pallas" (streamed bf16/f32 M), or "int8"
     (quantized kernel + int8 matvec iterations)."""
     if fused == "int8":
         return _chunk_mean_field_i8(
@@ -417,7 +415,7 @@ def _spatial_taps(gamma: float, h: int, w: int) -> np.ndarray:
 
 
 def _resolve_build(build: str, h: int, w: int, mesh=None) -> str:
-    """Resolve a build mode to one of "xla" | "pallas" | "u8".
+    """Resolve a build mode to one of "xla" | "pallas" | "int8".
 
     * "xla": materialized gram build (the exact parity surface; works
       everywhere, the only mode that shards over a multi-device mesh).
@@ -657,10 +655,14 @@ def crf_param_search(
     combos = [dict(zip(grid.keys(), v)) for v in itertools.product(*grid.values())]
 
     gt = np.asarray(gt, bool)
+    n_frames = len(frames_u8)
     # Ship the corpus ONCE; every grid combination reuses it in place.
     # Meshed searches pre-shard along the frame axis — chunk slices are then
     # resharded on device (see _run_chunked.put), eliminating the
-    # per-combination host upload the round-2 verdict flagged.
+    # per-combination host upload the round-2 verdict flagged. Sharding
+    # needs the frame axis divisible by the mesh, so the corpus is padded
+    # by repeating the last frame (the reference 550-frame slice is not a
+    # multiple of 8) and every combination's refinement is trimmed back.
     if mesh is None:
         frames_u8 = jax.device_put(np.ascontiguousarray(frames_u8, dtype=np.uint8))
         thr_masks = jax.device_put(
@@ -669,8 +671,18 @@ def crf_param_search(
     else:
         from critic_vae_tpu.parallel.mesh import shard_batch
 
-        frames_u8 = shard_batch(mesh, np.ascontiguousarray(frames_u8, dtype=np.uint8))
-        thr_masks = shard_batch(mesh, np.ascontiguousarray(thr_masks, dtype=np.uint8))
+        pad = (-n_frames) % mesh.devices.size
+        frames_u8 = np.ascontiguousarray(frames_u8, dtype=np.uint8)
+        thr_masks = np.ascontiguousarray(thr_masks, dtype=np.uint8)
+        if pad:
+            frames_u8 = np.concatenate(
+                [frames_u8, np.repeat(frames_u8[-1:], pad, 0)]
+            )
+            thr_masks = np.concatenate(
+                [thr_masks, np.repeat(thr_masks[-1:], pad, 0)]
+            )
+        frames_u8 = shard_batch(mesh, frames_u8)
+        thr_masks = shard_batch(mesh, thr_masks)
     results = []
     best = None
     for c in combos:
@@ -679,7 +691,7 @@ def crf_param_search(
             frames_u8, thr_masks, params,
             frame_chunk=frame_chunk, compute_dtype=compute_dtype, mesh=mesh,
             build=build,
-        )
+        )[:n_frames]
         score = iou_metric(gt, refined, round_digits=None)
         results.append((score, params))
         if best is None or score > best[0]:
@@ -728,7 +740,7 @@ def refine_masks_device(
     if compute_dtype == "auto":
         mode = _resolve_build(build, h, w_, mesh)
         # "pallas" stores M in compute_dtype -> bf16 for the fast path;
-        # "u8" ignores storage dtype; "xla" keeps the round-2 f32 default
+        # "int8" ignores storage dtype; "xla" keeps the round-2 f32 default
         compute_dtype = "bfloat16" if mode == "pallas" else "float32"
     
     out = _run_chunked(

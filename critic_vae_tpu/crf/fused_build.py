@@ -255,7 +255,7 @@ def _matvec_i8_kernel(k_ref, y_ref, out_ref):
     )
 
 
-def matvec_i8(k8, y, *, n: int, tile: int = 0):
+def matvec_i8(k8, y, *, n: int):
     """Batched (C·N, N)-blockwise matvec of the quantized kernel:
     out[f·N + i] = Σ_j K_i8[f·N + i, j] · y[f·N + j]  (f32 accumulate).
 

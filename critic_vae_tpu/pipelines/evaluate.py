@@ -93,6 +93,14 @@ def evaluate_images(
     Returns dict(preds, recon_one, recon_zero, diff_u8).
     """
     n = len(images)
+    if n == 0:
+        shp = (0,) + tuple(images.shape[1:])
+        return {
+            "preds": np.zeros((0,), np.float32),
+            "recon_one": np.zeros(shp, np.float32),
+            "recon_zero": np.zeros(shp, np.float32),
+            "diff_u8": np.zeros(shp[:-1], np.uint8),
+        }
     batch_size = min(batch_size, n)
     outs = {"preds": [], "recon_one": [], "recon_zero": []}
     diff_chunks, valids = [], []

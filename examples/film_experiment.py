@@ -31,13 +31,17 @@ from quality_ablations import mask_from_diff, model_diff  # noqa: E402
 
 
 def parse(cfg: str):
-    """"film+vc0.1+kld0.01" → (film=True, vc=0.1, kld=0.01). The kld token
-    probes the information-bottleneck lever: the injected value is KL-free
-    while the latent pays kld_weight·KL, so squeezing z harder should force
-    the decoder to lean on the value pathway the masks feed on."""
+    """"film+vc0.1+kld0.01+seed3+ep14" → (film=True, vc=0.1, kld=0.01,
+    seed=3, epochs=14). The kld token probes the information-bottleneck
+    lever: the injected value is KL-free while the latent pays
+    kld_weight·KL, so squeezing z harder should force the decoder to lean
+    on the value pathway the masks feed on. seed/ep tokens measure run
+    variance and training-length response at a fixed configuration."""
     film = False
     vc = 0.0
     kld = 1e-3  # reference default (vae_parameters.py:16)
+    seed = 0
+    epochs = 7
     for part in cfg.split("+"):
         if part == "film":
             film = True
@@ -45,9 +49,13 @@ def parse(cfg: str):
             vc = float(part[2:])
         elif part.startswith("kld"):
             kld = float(part[3:])
+        elif part.startswith("seed"):
+            seed = int(part[4:])
+        elif part.startswith("ep"):
+            epochs = int(part[2:])
         elif part != "plain":
             raise ValueError(f"unknown config token {part!r} in {cfg!r}")
-    return film, vc, kld
+    return film, vc, kld, seed, epochs
 
 
 def main(out_dir="/tmp/cvt-film", *configs):
@@ -86,12 +94,12 @@ def main(out_dir="/tmp/cvt-film", *configs):
 
     results = {}
     for cfg in configs:
-        film, vc, kld = parse(cfg)
-        print(f"[{cfg}] training 7 epochs (film={film}, vc={vc}, kld={kld})...",
-              flush=True)
+        film, vc, kld, seed, epochs = parse(cfg)
+        print(f"[{cfg}] training {epochs} epochs (film={film}, vc={vc}, "
+              f"kld={kld}, seed={seed})...", flush=True)
         state = train(
-            critic_params, dset, epochs=7, batch_size=128,
-            film=film, value_consistency=vc, kld_weight=kld,
+            critic_params, dset, epochs=epochs, batch_size=128,
+            film=film, value_consistency=vc, kld_weight=kld, seed=seed,
             log_dir=None, checkpoint_dir=None, resume=False, progress=False,
         )
         params = jax.device_get(state.params)

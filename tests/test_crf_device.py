@@ -150,6 +150,24 @@ def test_param_search_is_independent_and_sorted(episode):
     )
 
 
+def test_param_search_meshed_non_divisible(episode):
+    """The pre-put corpus is padded to the mesh size: a frame count not
+    divisible by the device count (6 on 8 devices — the production default
+    550-frame slice is 550 % 8 ≠ 0) must search fine, return un-padded
+    masks, and score identically to the un-meshed search."""
+    from critic_vae_tpu.crf.device import crf_param_search
+    from critic_vae_tpu.parallel.mesh import make_mesh
+
+    frames, gt, noisy = episode
+    assert len(frames) % 8 != 0
+    grid = {"iters": [2]}
+    best_m, res_m = crf_param_search(frames, noisy, gt, grid, mesh=make_mesh(8))
+    best_s, res_s = crf_param_search(frames, noisy, gt, grid)
+    assert best_m.shape == gt.shape
+    np.testing.assert_array_equal(best_m, best_s)
+    np.testing.assert_allclose(res_m[0][0], res_s[0][0], atol=1e-12)
+
+
 def test_memory_cap_shrinks_chunk_without_changing_results(episode, monkeypatch):
     """A tight HBM budget forces chunk=1 dispatches; segmentations are
     unchanged (chunking is pure batching)."""

@@ -99,6 +99,20 @@ def test_evaluate_and_inject_images(critic_params, source_images, vae):
     assert inj["recons"].shape == (6, 6, 64, 64, 3)
 
 
+def test_evaluate_images_empty_batch(vae):
+    """A (0, H, W, 3) input returns empty results instead of crashing on
+    range(0, 0, 0) (round-3 review fix; the pre-chunking code handled 0)."""
+    from critic_vae_tpu.models.critic import init_critic_params
+    from critic_vae_tpu.pipelines import evaluate as ev
+
+    params, state = vae
+    critic = init_critic_params(jax.random.key(1))
+    res = ev.evaluate_images(params, state, critic, np.zeros((0, 64, 64, 3), np.float32))
+    assert res["preds"].shape == (0,)
+    assert res["diff_u8"].shape == (0, 64, 64) and res["diff_u8"].dtype == np.uint8
+    assert res["recon_one"].shape == (0, 64, 64, 3)
+
+
 @requires_reference
 def test_save_strips(tmp_path, critic_params, source_images, vae):
     from critic_vae_tpu.pipelines import evaluate as ev
