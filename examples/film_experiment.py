@@ -42,6 +42,7 @@ def parse(cfg: str):
     kld = 1e-3  # reference default (vae_parameters.py:16)
     seed = 0
     epochs = 7
+    data = 1
     for part in cfg.split("+"):
         if part == "film":
             film = True
@@ -53,9 +54,11 @@ def parse(cfg: str):
             seed = int(part[4:])
         elif part.startswith("ep"):
             epochs = int(part[2:])
+        elif part.startswith("data"):
+            data = int(part[4:])  # multiple of the 20k-frame 1x point
         elif part != "plain":
             raise ValueError(f"unknown config token {part!r} in {cfg!r}")
-    return film, vc, kld, seed, epochs
+    return film, vc, kld, seed, epochs, data
 
 
 def main(out_dir="/tmp/cvt-film", *configs):
@@ -84,21 +87,28 @@ def main(out_dir="/tmp/cvt-film", *configs):
         dropout_rate=0.3, progress=False,
     )
 
-    def trajs():
-        for t in range(16):
-            f, _ = generate_frames(2048, seed=100 + t)
-            yield f"synth-{t}", f.astype(np.float32) / 255.0
+    def collect(mult):
+        def trajs():
+            for t in range(16 * mult):
+                f, _ = generate_frames(2048, seed=100 + t)
+                yield f"synth-{t}", f.astype(np.float32) / 255.0
 
-    dset = balanced_critic_sampler(trajs(), critic_params, total_images=20000)
-    print(f"collected {len(dset)} frames", flush=True)
+        d = balanced_critic_sampler(
+            trajs(), critic_params, total_images=20000 * mult
+        )
+        print(f"collected {len(d)} frames ({mult}x)", flush=True)
+        return d
 
+    dsets = {}  # data multiple -> collected set, reused across configs
     results = {}
     for cfg in configs:
-        film, vc, kld, seed, epochs = parse(cfg)
+        film, vc, kld, seed, epochs, data = parse(cfg)
+        if data not in dsets:
+            dsets[data] = collect(data)
         print(f"[{cfg}] training {epochs} epochs (film={film}, vc={vc}, "
-              f"kld={kld}, seed={seed})...", flush=True)
+              f"kld={kld}, seed={seed}, data={data}x)...", flush=True)
         state = train(
-            critic_params, dset, epochs=epochs, batch_size=128,
+            critic_params, dsets[data], epochs=epochs, batch_size=128,
             film=film, value_consistency=vc, kld_weight=kld, seed=seed,
             log_dir=None, checkpoint_dir=None, resume=False, progress=False,
         )

@@ -103,6 +103,56 @@ def test_unknown_mode_fails():
 
 
 @requires_reference
+def test_non_primary_process_writes_nothing(tmp_path, monkeypatch):
+    """Round-3 multi-host gating: on a non-primary host (is_primary False),
+    every artifact-writing command computes but writes NO files —
+    save_dataset is a non-atomic savez, so two hosts writing the same path
+    would corrupt it (pipelines gate train/video; cli gates the rest)."""
+    import jax
+
+    import critic_vae_tpu.parallel.distributed as dist
+    from critic_vae_tpu.pipelines.dataset import save_dataset
+    from critic_vae_tpu.pipelines.train import save_final_weights
+    from critic_vae_tpu.train.step import init_train_state
+
+    root = tmp_path / "root"
+    nets = root / "saved-networks"
+    nets.mkdir(parents=True)
+    shutil.copy(CRITIC_PT, nets / os.path.basename(CRITIC_PT))
+    state, _ = init_train_state(jax.random.key(0))
+    save_final_weights(state, str(nets / "vae_encoder.ckpt"),
+                       str(nets / "vae_decoder.ckpt"))
+    src = root / "source-images"
+    src.mkdir()
+    for name in sorted(os.listdir(f"{REFERENCE}/source-images"))[:2]:
+        shutil.copy(f"{REFERENCE}/source-images/{name}", src / name)
+    dset_path = root / "recon.npz"
+    save_dataset(str(dset_path), np.zeros((16, 64, 64, 3), np.float32))
+
+    monkeypatch.setattr(dist, "is_primary", lambda: False)
+    critic = str(nets / os.path.basename(CRITIC_PT))
+    base = ["--root", str(root), "--critic", critic]
+
+    def tree(p):
+        return {
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(p) for f in fs
+        }
+
+    before = tree(root)
+    _run(["eval", *base])
+    _run(["inject", *base])
+    _run(["dataset", *base, "--source", "synthetic:1:16",
+          "--total-images", "16", "--out", str(root / "recon2.npz")])
+    _run(["second", *base, "--dataset", str(dset_path), "--epochs", "1",
+          "--batch-size", "8"])
+    _run(["traincritic", *base, "--synthetic-frames", "32", "--epochs", "1",
+          "--batch-size", "16", "--out", str(root / "critic2.npz")])
+    _run(["export", *base, "--critic-out", str(root / "critic.pt")])
+    assert tree(root) == before
+
+
+@requires_reference
 def test_missing_weights_error_is_loud(workspace, tmp_path):
     """eval without trained weights must raise, not continue with random
     weights like the reference (vae_utility.py:353-357)."""
