@@ -150,7 +150,8 @@ def iou_stacked(gt: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("with_recons", "compute_dtype", "recons_u8")
+    jax.jit,
+    static_argnames=("with_recons", "compute_dtype", "recons_u8", "mask_source"),
 )
 def episode_forward(
     vae_params,
@@ -161,6 +162,7 @@ def episode_forward(
     with_recons: bool = True,
     compute_dtype: str = "float32",
     recons_u8: bool = False,
+    mask_source: str = "diff",
 ):
     """Fused per-frame stage of the video pipeline: critic score + double
     decode + diff/greyscale/max, one XLA program over the whole frame batch
@@ -173,6 +175,12 @@ def episode_forward(
         recon tensors in HBM — the mask/IoU path needs only the diff maps.
       compute_dtype: "float32" (parity default) or "bfloat16" (halves HBM
         traffic on this memory-bound pipeline).
+      mask_source: "diff" (faithful default — VAE recon difference,
+        vae_utility.py:171-184) or "saliency" (critic input-gradient maps,
+        ops/saliency.py — measured ~2.4× the diff method's IoU on the
+        synthetic benchmark). The saliency map rides the SAME downstream
+        normalization/threshold/CRF machinery via the ``diff``/``max_value``
+        keys; recons are still produced when ``with_recons`` for panels.
 
     Returns dict(preds (B,), diff (B,H,W) f32, max_value (B,) [, recon_one,
     recon_zero]).
@@ -184,13 +192,30 @@ def episode_forward(
     dominant cost when frames stream over PCIe/tunnel rather than living in
     HBM.
     """
+    if mask_source not in ("diff", "saliency"):
+        raise ValueError(
+            f"unknown mask_source {mask_source!r} (diff|saliency)"
+        )
     if frames.dtype == jnp.uint8:
         frames = frames.astype(jnp.float32) / 255.0
     x = frames.astype(jnp.dtype(compute_dtype))
-    preds = critic_mod.critic_apply(critic_params, x)[:, 0]
-    recon_one, recon_zero, diff, max_value = diff_images(
-        vae_params, bn_state, x, preds
-    )
+    if mask_source == "saliency":
+        from critic_vae_tpu.ops.saliency import critic_saliency
+
+        # saliency gradients stay f32: the map is a derivative of an
+        # 11k-param net, cheap either way, and bf16 grads cost accuracy
+        preds, sal = critic_saliency(critic_params, frames)
+        if with_recons:
+            recon_one, recon_zero, _, _ = diff_images(
+                vae_params, bn_state, x, preds.astype(x.dtype)
+            )
+        diff = sal
+        max_value = sal.max(axis=(1, 2))
+    else:
+        preds = critic_mod.critic_apply(critic_params, x)[:, 0]
+        recon_one, recon_zero, diff, max_value = diff_images(
+            vae_params, bn_state, x, preds
+        )
     out = {
         "preds": preds.astype(jnp.float32),
         "diff": diff.astype(jnp.float32),

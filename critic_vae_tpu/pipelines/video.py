@@ -96,7 +96,7 @@ def episode_device_stage(
     vae_params, bn_state, critic_params, frames_f32: np.ndarray,
     batch_size: int = 512, *, with_recons: bool = True,
     compute_dtype: str = "float32", mesh=None, recons_u8: bool = False,
-    fetch: bool = True,
+    fetch: bool = True, mask_source: str = "diff",
 ):
     """Run the fused per-frame stage over the episode in padded chunks.
 
@@ -152,7 +152,7 @@ def episode_device_stage(
         res = episode_forward(
             vae_params, bn_state, critic_params, dev_chunk,
             with_recons=with_recons, compute_dtype=compute_dtype,
-            recons_u8=recons_u8,
+            recons_u8=recons_u8, mask_source=mask_source,
         )
         valids.append(valid)
         host = _fetch({k: res[k] for k in host_keys})
@@ -186,6 +186,7 @@ def eval_episode(
     crf_backend: str = "host",
     recons_u8: bool = False,
     with_recons: bool = True,
+    mask_source: str = "diff",
 ) -> EpisodeResult:
     """Full mask pipeline over an episode (reference: eval_textured_frames).
 
@@ -204,11 +205,15 @@ def eval_episode(
         are identical to single-device (SURVEY §2.3).
       recons_u8: quantize reconstructions to uint8 on device (reference cast
         semantics) — panels consume uint8 anyway; 4× less fetch.
+      mask_source: "diff" (faithful default) or "saliency" — critic
+        input-gradient maps (ops/saliency.py) through the same
+        normalize/threshold/CRF machinery; ``diff_u8`` then holds the
+        normalized saliency map.
     """
     host, diff_chunks, valids = episode_device_stage(
         vae_params, bn_state, critic_params, frames_u8, batch_size,
         compute_dtype=compute_dtype, mesh=mesh, recons_u8=recons_u8,
-        with_recons=with_recons, fetch=False,
+        with_recons=with_recons, fetch=False, mask_source=mask_source,
     )
 
     # Global two-pass normalization (vae_utility.py:106-110): the mean is
@@ -265,6 +270,7 @@ def threshold_sweep(
     compute_dtype: str = "float32",
     mesh=None,
     crf_backend: str = "host",
+    mask_source: str = "diff",
 ) -> List[Dict]:
     """Threshold sweep with reconstructions computed once.
 
@@ -272,11 +278,13 @@ def threshold_sweep(
     threshold (vae.py:121-123); here the device stage runs once and all
     threshold masks + IoUs come from one vectorized pass. CRF still runs per
     threshold (its input mask differs). ``mesh`` shards the device stage
-    over every chip, as in :func:`eval_episode`.
+    over every chip, and ``mask_source`` selects the mask signal, as in
+    :func:`eval_episode`.
     """
     host, diff_chunks, valids = episode_device_stage(
         vae_params, bn_state, critic_params, frames_u8, batch_size,
         with_recons=False, compute_dtype=compute_dtype, mesh=mesh, fetch=False,
+        mask_source=mask_source,
     )
     mean_max = np.asarray(jnp.mean(jnp.asarray(host["max_value"])))
 

@@ -82,6 +82,11 @@ def test_full_mode_matrix(workspace):
           "--batch-size", "8", "--no-slice", "--no-gif",
           "--crf-search", "iters=2,5"])
 
+    # critic-gradient saliency mask source (beyond-reference, ops/saliency.py)
+    _run(["video", *base, "--episode", os.path.join(workspace, "minerl-episode"),
+          "--batch-size", "8", "--no-slice", "--no-crf",
+          "--mask-source", "saliency"])
+
     dset_path = os.path.join(workspace, "recon.npz")
     _run(["dataset", *base, "--source", "synthetic:1:32", "--out", dset_path,
           "--total-images", "32"])

@@ -1,0 +1,126 @@
+"""Critic-gradient saliency mask source (ops/saliency.py) — the
+beyond-reference mask signal (measured ~2.4× the recon-diff IoU,
+docs/artifacts/saliency.json)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from critic_vae_tpu.models.critic import critic_apply, init_critic_params
+from critic_vae_tpu.models.vae import init_vae_params
+from critic_vae_tpu.ops.saliency import _sep_blur, critic_saliency, gaussian_taps
+
+
+@pytest.fixture(scope="module")
+def critic():
+    return init_critic_params(jax.random.key(7))
+
+
+@pytest.fixture(scope="module")
+def frames():
+    rng = np.random.default_rng(0)
+    return rng.random((4, 64, 64, 3), np.float32)
+
+
+def test_gaussian_taps_normalized_and_symmetric():
+    for sigma in (0.5, 1.0, 1.5, 3.0):
+        t = gaussian_taps(sigma)
+        np.testing.assert_allclose(t.sum(), 1.0, rtol=1e-6)
+        np.testing.assert_allclose(t, t[::-1])
+        assert t.argmax() == len(t) // 2
+
+
+def test_sep_blur_matches_scipy_nearest():
+    scipy = pytest.importorskip("scipy")
+    from scipy import ndimage
+
+    rng = np.random.default_rng(1)
+    x = rng.random((2, 16, 16), np.float32)
+    ours = np.asarray(_sep_blur(jnp.asarray(x), jnp.asarray(gaussian_taps(1.5))))
+    ref = ndimage.gaussian_filter(x, (0, 1.5, 1.5), mode="nearest")
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_preds_match_critic_apply(critic, frames):
+    preds, sal = critic_saliency(critic, jnp.asarray(frames))
+    direct = critic_apply(critic, jnp.asarray(frames))[:, 0]
+    np.testing.assert_allclose(np.asarray(preds), np.asarray(direct), atol=1e-6)
+    assert sal.shape == (4, 64, 64) and sal.dtype == jnp.float32
+    assert np.all(np.asarray(sal) >= 0) and np.all(np.isfinite(np.asarray(sal)))
+
+
+def test_batched_vjp_equals_per_image_grads(critic, frames):
+    """The ones-vector pullback must yield each image's OWN gradient
+    (predictions are independent across the batch)."""
+    _, sal = critic_saliency(critic, jnp.asarray(frames), smooth_sigma=0)
+
+    def one(img):
+        g = jax.grad(lambda i: critic_apply(critic, i[None])[0, 0])(img)
+        return jnp.abs(g).sum(-1)
+
+    per_image = np.asarray(jax.vmap(one)(jnp.asarray(frames)))
+    np.testing.assert_allclose(np.asarray(sal), per_image, atol=1e-6)
+
+
+def test_smoothing_reduces_roughness(critic, frames):
+    _, raw = critic_saliency(critic, jnp.asarray(frames), smooth_sigma=0)
+    _, smooth = critic_saliency(critic, jnp.asarray(frames), smooth_sigma=1.5)
+    tv = lambda a: np.abs(np.diff(np.asarray(a), axis=-1)).sum()
+    assert tv(smooth) < tv(raw)
+
+
+def test_episode_forward_saliency_source(critic, frames):
+    from critic_vae_tpu.ops.mask import episode_forward
+
+    vae_params, bn = init_vae_params(jax.random.key(0))
+    out = episode_forward(
+        vae_params, bn, critic, jnp.asarray(frames), mask_source="saliency"
+    )
+    _, sal = critic_saliency(critic, jnp.asarray(frames))
+    np.testing.assert_allclose(np.asarray(out["diff"]), np.asarray(sal), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out["max_value"]), np.asarray(sal).max(axis=(1, 2)), atol=1e-6
+    )
+    # recons still produced for panel composition
+    assert out["recon_one"].shape == frames.shape
+    with pytest.raises(ValueError):
+        episode_forward(
+            vae_params, bn, critic, jnp.asarray(frames), mask_source="nope"
+        )
+
+
+def test_eval_episode_saliency_end_to_end(critic):
+    from critic_vae_tpu.data.synthetic import generate_frames
+    from critic_vae_tpu.pipelines.video import eval_episode
+
+    frames, gt = generate_frames(12, seed=11)
+    vae_params, bn = init_vae_params(jax.random.key(0))
+    res = eval_episode(
+        vae_params, bn, critic, frames, gt, batch_size=8,
+        run_crf=True, crf_backend="device", mask_source="saliency",
+    )
+    assert res.thr_masks.shape == gt.shape
+    assert res.crf_masks.shape == gt.shape
+    assert res.diff_u8.dtype == np.uint8
+    assert 0.0 <= res.thr_iou <= 1.0
+    # the diff_u8 maps are normalized saliency, not recon difference
+    base = eval_episode(
+        vae_params, bn, critic, frames, gt, batch_size=8, run_crf=False,
+    )
+    assert not np.array_equal(res.diff_u8, base.diff_u8)
+
+
+def test_threshold_sweep_saliency(critic):
+    from critic_vae_tpu.data.synthetic import generate_frames
+    from critic_vae_tpu.pipelines.video import threshold_sweep
+
+    frames, gt = generate_frames(12, seed=11)
+    vae_params, bn = init_vae_params(jax.random.key(0))
+    sweep = threshold_sweep(
+        vae_params, bn, critic, frames, gt, thresholds=[30, 60],
+        run_crf=False, batch_size=8, mask_source="saliency",
+    )
+    assert [r["threshold"] for r in sweep] == [30, 60]
+    for r in sweep:
+        assert 0.0 <= r["thr_iou"] <= 1.0
