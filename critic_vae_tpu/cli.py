@@ -142,7 +142,34 @@ def build_parser() -> argparse.ArgumentParser:
         help="mask signal: 'diff' = the reference's VAE recon difference "
         "(faithful default, vae_utility.py:171-184), 'saliency' = critic "
         "input-gradient maps (ops/saliency.py) — no VAE in the mask path, "
-        "measured ~2.4x the diff method's IoU on the synthetic benchmark",
+        "measured ~2.4x the diff method's IoU on the synthetic benchmark "
+        "(~4.6x with --saliency-logits --saliency-noise 0.08 "
+        "--saliency-samples 8 --saliency-sigma 1.0)",
+    )
+    v.add_argument(
+        "--saliency-logits", action="store_true",
+        help="saliency: differentiate the critic's pre-sigmoid logit "
+        "(probability gradients vanish on saturated/confident frames)",
+    )
+    v.add_argument(
+        "--saliency-samples", type=int, default=1, metavar="N",
+        help="saliency: SmoothGrad sample count (average |grad| over N "
+        "noisy input copies; 1 = deterministic single VJP)",
+    )
+    v.add_argument(
+        "--saliency-noise", type=float, default=0.0, metavar="STD",
+        help="saliency: SmoothGrad input-noise std in [0,1] pixel units "
+        "(measured best 0.08 with --saliency-logits and 8 samples)",
+    )
+    v.add_argument(
+        "--saliency-seed", type=int, default=0,
+        help="saliency: base PRNG seed for the SmoothGrad noise streams",
+    )
+    v.add_argument(
+        "--saliency-sigma", type=float, default=None, metavar="SIGMA",
+        help="saliency: Gaussian smoothing sigma in pixels (default 1.5 — "
+        "best for the deterministic gradient; with SmoothGrad the "
+        "averaging already denoises, measured best 1.0)",
     )
     v.add_argument("--no-gif", action="store_true")
     v.add_argument(
@@ -386,6 +413,14 @@ def cmd_video(args) -> int:
 
     from critic_vae_tpu.utils.profiling import profile_trace
 
+    saliency_opts = {
+        "logits": args.saliency_logits,
+        "samples": args.saliency_samples,
+        "noise": args.saliency_noise,
+        "seed": args.saliency_seed,
+        "sigma": args.saliency_sigma,
+    }
+
     mesh = None
     if args.num_devices is not None:
         from critic_vae_tpu.parallel.mesh import make_mesh
@@ -403,7 +438,7 @@ def cmd_video(args) -> int:
                 cfg.mask.threshold_sweep, run_crf=not args.no_crf,
                 batch_size=args.batch_size, compute_dtype=args.dtype,
                 mesh=mesh, crf_backend=args.crf_backend,
-                mask_source=args.mask_source,
+                mask_source=args.mask_source, saliency_opts=saliency_opts,
             )
         if pri:
             for r in results:
@@ -419,7 +454,7 @@ def cmd_video(args) -> int:
             mesh=mesh, crf_backend=args.crf_backend,
             recons_u8=True,  # panels consume uint8; 4x less device fetch
             with_recons=not args.no_gif,  # recons feed panels only
-            mask_source=args.mask_source,
+            mask_source=args.mask_source, saliency_opts=saliency_opts,
         )
 
     if args.crf_search is not None:

@@ -151,7 +151,11 @@ def iou_stacked(gt: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("with_recons", "compute_dtype", "recons_u8", "mask_source"),
+    static_argnames=(
+        "with_recons", "compute_dtype", "recons_u8", "mask_source",
+        "saliency_logits", "saliency_samples", "saliency_noise",
+        "saliency_sigma",
+    ),
 )
 def episode_forward(
     vae_params,
@@ -163,6 +167,11 @@ def episode_forward(
     compute_dtype: str = "float32",
     recons_u8: bool = False,
     mask_source: str = "diff",
+    saliency_logits: bool = False,
+    saliency_samples: int = 1,
+    saliency_noise: float = 0.0,
+    saliency_sigma: float = None,
+    saliency_seed=None,
 ):
     """Fused per-frame stage of the video pipeline: critic score + double
     decode + diff/greyscale/max, one XLA program over the whole frame batch
@@ -178,9 +187,20 @@ def episode_forward(
       mask_source: "diff" (faithful default — VAE recon difference,
         vae_utility.py:171-184) or "saliency" (critic input-gradient maps,
         ops/saliency.py — measured ~2.4× the diff method's IoU on the
-        synthetic benchmark). The saliency map rides the SAME downstream
+        synthetic benchmark; ~4× with the SmoothGrad-logit options below).
+        The saliency map rides the SAME downstream
         normalization/threshold/CRF machinery via the ``diff``/``max_value``
         keys; recons are still produced when ``with_recons`` for panels.
+      saliency_logits / saliency_samples / saliency_noise / saliency_sigma:
+        forwarded to ops/saliency.py::critic_saliency (logit-space gradients
+        + SmoothGrad averaging + smoothing σ; ``None`` σ = the module
+        default). Only consulted for the saliency source.
+      saliency_seed: TRACED scalar (numpy uint32, required when SmoothGrad
+        sampling is on) from which the noise key is built inside the jitted
+        program. A host scalar rather than a key array for the same reason
+        as the pipeline's ``mean_max``: under multi-host jit a process-local
+        committed array cannot mix with global-mesh operands, but host
+        numpy can (pipelines/video.py:222-224).
 
     Returns dict(preds (B,), diff (B,H,W) f32, max_value (B,) [, recon_one,
     recon_zero]).
@@ -204,7 +224,23 @@ def episode_forward(
 
         # saliency gradients stay f32: the map is a derivative of an
         # 11k-param net, cheap either way, and bf16 grads cost accuracy
-        preds, sal = critic_saliency(critic_params, frames)
+        sal_key = None
+        if saliency_samples > 1 or saliency_noise > 0.0:
+            if saliency_seed is None:
+                raise ValueError(
+                    "episode_forward: saliency SmoothGrad sampling needs "
+                    "saliency_seed"
+                )
+            sal_key = jax.random.key(saliency_seed)
+        sigma_kw = (
+            {} if saliency_sigma is None
+            else {"smooth_sigma": saliency_sigma}
+        )
+        preds, sal = critic_saliency(
+            critic_params, frames,
+            logits=saliency_logits, samples=saliency_samples,
+            noise=saliency_noise, key=sal_key, **sigma_kw,
+        )
         if with_recons:
             recon_one, recon_zero, _, _ = diff_images(
                 vae_params, bn_state, x, preds.astype(x.dtype)

@@ -70,6 +70,43 @@ def test_smoothing_reduces_roughness(critic, frames):
     assert tv(smooth) < tv(raw)
 
 
+def test_logit_gradients_differ_but_preds_stay_probabilities(critic, frames):
+    """logits=True changes the saliency signal (no σ' damping) but the
+    returned preds must still be probabilities (downstream contract)."""
+    preds_p, sal_p = critic_saliency(critic, jnp.asarray(frames))
+    preds_l, sal_l = critic_saliency(critic, jnp.asarray(frames), logits=True)
+    np.testing.assert_allclose(np.asarray(preds_l), np.asarray(preds_p), atol=1e-6)
+    assert not np.allclose(np.asarray(sal_l), np.asarray(sal_p))
+
+
+def test_smoothgrad_deterministic_given_key(critic, frames):
+    x = jnp.asarray(frames)
+    k = jax.random.key(3)
+    _, a = critic_saliency(critic, x, samples=4, noise=0.05, key=k)
+    _, b = critic_saliency(critic, x, samples=4, noise=0.05, key=k)
+    _, c = critic_saliency(critic, x, samples=4, noise=0.05, key=jax.random.key(4))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+    # clean-input preds regardless of the noise
+    preds, _ = critic_saliency(critic, x, samples=4, noise=0.05, key=k)
+    direct = critic_apply(critic, x)[:, 0]
+    np.testing.assert_allclose(np.asarray(preds), np.asarray(direct), atol=1e-6)
+
+
+def test_smoothgrad_requires_key(critic, frames):
+    with pytest.raises(ValueError, match="key"):
+        critic_saliency(critic, jnp.asarray(frames), samples=8, noise=0.08)
+
+
+def test_smoothgrad_zero_noise_one_sample_equals_deterministic(critic, frames):
+    x = jnp.asarray(frames)
+    _, det = critic_saliency(critic, x)
+    _, sg = critic_saliency(
+        critic, x, samples=1, noise=0.0, key=jax.random.key(0)
+    )
+    np.testing.assert_array_equal(np.asarray(det), np.asarray(sg))
+
+
 def test_episode_forward_saliency_source(critic, frames):
     from critic_vae_tpu.ops.mask import episode_forward
 
@@ -87,6 +124,67 @@ def test_episode_forward_saliency_source(critic, frames):
     with pytest.raises(ValueError):
         episode_forward(
             vae_params, bn, critic, jnp.asarray(frames), mask_source="nope"
+        )
+
+
+def test_episode_forward_smoothgrad_options(critic, frames):
+    from critic_vae_tpu.ops.mask import episode_forward
+
+    vae_params, bn = init_vae_params(jax.random.key(0))
+    out = episode_forward(
+        vae_params, bn, critic, jnp.asarray(frames), mask_source="saliency",
+        with_recons=False, saliency_logits=True, saliency_samples=4,
+        saliency_noise=0.08, saliency_seed=np.uint32(5),
+    )
+    _, expect = critic_saliency(
+        critic, jnp.asarray(frames), logits=True, samples=4, noise=0.08,
+        key=jax.random.key(np.uint32(5)),
+    )
+    np.testing.assert_allclose(np.asarray(out["diff"]), np.asarray(expect),
+                               atol=1e-6)
+    # smoothing sigma threads through (0 = raw gradients)
+    raw = episode_forward(
+        vae_params, bn, critic, jnp.asarray(frames), mask_source="saliency",
+        with_recons=False, saliency_sigma=0.0,
+    )
+    _, expect_raw = critic_saliency(critic, jnp.asarray(frames), smooth_sigma=0)
+    np.testing.assert_allclose(np.asarray(raw["diff"]), np.asarray(expect_raw),
+                               atol=1e-6)
+    # sampling without a seed is a loud error
+    with pytest.raises(ValueError, match="saliency_seed"):
+        episode_forward(
+            vae_params, bn, critic, jnp.asarray(frames),
+            mask_source="saliency", with_recons=False,
+            saliency_samples=4, saliency_noise=0.08,
+        )
+
+
+def test_eval_episode_smoothgrad_options_end_to_end(critic):
+    from critic_vae_tpu.data.synthetic import generate_frames
+    from critic_vae_tpu.pipelines.video import eval_episode
+
+    frames, gt = generate_frames(12, seed=11)
+    vae_params, bn = init_vae_params(jax.random.key(0))
+    opts = {"logits": True, "samples": 4, "noise": 0.08, "seed": 7}
+    res = eval_episode(
+        vae_params, bn, critic, frames, gt, batch_size=8, run_crf=False,
+        mask_source="saliency", saliency_opts=opts,
+    )
+    res2 = eval_episode(
+        vae_params, bn, critic, frames, gt, batch_size=8, run_crf=False,
+        mask_source="saliency", saliency_opts=opts,
+    )
+    det = eval_episode(
+        vae_params, bn, critic, frames, gt, batch_size=8, run_crf=False,
+        mask_source="saliency",
+    )
+    # deterministic given the seed, different signal from the single-VJP path
+    np.testing.assert_array_equal(res.diff_u8, res2.diff_u8)
+    assert not np.array_equal(res.diff_u8, det.diff_u8)
+    with pytest.raises(ValueError, match="saliency_opts"):
+        eval_episode(
+            vae_params, bn, critic, frames, gt, batch_size=8, run_crf=False,
+            mask_source="saliency", saliency_opts={"nois": 0.1},
         )
 
 
