@@ -120,8 +120,22 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(v)
     _add_vae_weights(v)
     v.add_argument("--episode", default=None, help="episode dir with X.npy/Y.npy")
-    v.add_argument("--threshold", type=int, default=_D.mask.threshold)
+    v.add_argument(
+        "--threshold", type=int, default=_D.mask.threshold,
+        help="mask threshold on the normalized uint8 maps (default %(default)s "
+        "— the reference's, tuned for the diff source; the measured "
+        "SmoothGrad-logit saliency optimum is ~122, docs/artifacts/"
+        "saliency.json)",
+    )
     v.add_argument("--sweep", action="store_true", help="threshold sweep 0..120 (reference: -thresh)")
+    v.add_argument(
+        "--sweep-range", default=None, metavar="LO:HI[:STEP]",
+        help="override the sweep's thresholds (default: the reference's "
+        "0..120 step 10). Implies --sweep. The SmoothGrad-logit saliency "
+        "optimum sits at ~122 — past the reference range — so use e.g. "
+        "--sweep-range 0:250:10 with those flags "
+        "(docs/artifacts/saliency.json)",
+    )
     v.add_argument("--no-crf", action="store_true")
     v.add_argument(
         "--crf-backend", default="host", choices=["host", "device"],
@@ -373,6 +387,12 @@ def cmd_evalsecond(args) -> int:
 
 def cmd_video(args) -> int:
     cfg = _cfg(args)
+    # parse BEFORE any weight loading / device work — fail fast on a typo
+    if args.sweep_range is not None:
+        args.sweep = True
+        sweep_thresholds = _parse_sweep_range(args.sweep_range)
+    else:
+        sweep_thresholds = None
     pri = _primary()  # device stages run on all processes; only primary writes
     critic_params = _critic(args, cfg)
     vae_params, bn_state = _load_vae(args, cfg)
@@ -435,7 +455,8 @@ def cmd_video(args) -> int:
         with profile_trace(args.profile):
             results = vid.threshold_sweep(
                 vae_params, bn_state, critic_params, frames, gt,
-                cfg.mask.threshold_sweep, run_crf=not args.no_crf,
+                sweep_thresholds or cfg.mask.threshold_sweep,
+                run_crf=not args.no_crf,
                 batch_size=args.batch_size, compute_dtype=args.dtype,
                 mesh=mesh, crf_backend=args.crf_backend,
                 mask_source=args.mask_source, saliency_opts=saliency_opts,
@@ -495,6 +516,27 @@ def cmd_video(args) -> int:
         write_gif(strips, out)
         print(f"wrote {out}")
     return 0
+
+
+def _parse_sweep_range(spec: str) -> list:
+    """Parse 'LO:HI[:STEP]' into a threshold list (HI inclusive, uint8 range)."""
+    parts = spec.split(":")
+    try:
+        lo, hi = int(parts[0]), int(parts[1])
+        step = int(parts[2]) if len(parts) > 2 else 10
+        if len(parts) > 3:
+            raise ValueError
+    except (ValueError, IndexError):
+        raise SystemExit(
+            f"bad --sweep-range {spec!r}; expected LO:HI or LO:HI:STEP "
+            "(integers)"
+        )
+    if not (0 <= lo <= hi <= 255) or step < 1:
+        raise SystemExit(
+            f"bad --sweep-range {spec!r}; need 0 <= LO <= HI <= 255 "
+            "(thresholds apply to uint8 maps) and STEP >= 1"
+        )
+    return list(range(lo, hi + 1, step))
 
 
 def _parse_crf_grid(spec: str) -> dict:

@@ -195,8 +195,8 @@ def episode_forward(
         forwarded to ops/saliency.py::critic_saliency (logit-space gradients
         + SmoothGrad averaging + smoothing σ; ``None`` σ = the module
         default). Only consulted for the saliency source.
-      saliency_seed: TRACED scalar (numpy uint32, required when SmoothGrad
-        sampling is on) from which the noise key is built inside the jitted
+      saliency_seed: TRACED scalar (numpy uint32, required when
+        ``saliency_noise > 0``) from which the noise key is built inside the jitted
         program. A host scalar rather than a key array for the same reason
         as the pipeline's ``mean_max``: under multi-host jit a process-local
         committed array cannot mix with global-mesh operands, but host
@@ -222,10 +222,14 @@ def episode_forward(
     if mask_source == "saliency":
         from critic_vae_tpu.ops.saliency import critic_saliency
 
-        # saliency gradients stay f32: the map is a derivative of an
-        # 11k-param net, cheap either way, and bf16 grads cost accuracy
+        # saliency inputs/accumulation stay f32 (frames, not the bf16
+        # compute_dtype x): the map is a derivative of an 11k-param net,
+        # cheap either way. MXU matmul operands still round to bf16 at
+        # default precision — every measured saliency IoU/throughput
+        # number includes that (the smoothing convs alone run at HIGHEST
+        # for scipy parity, ops/saliency.py)
         sal_key = None
-        if saliency_samples > 1 or saliency_noise > 0.0:
+        if saliency_noise > 0.0:
             if saliency_seed is None:
                 raise ValueError(
                     "episode_forward: saliency SmoothGrad sampling needs "

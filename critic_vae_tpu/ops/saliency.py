@@ -59,11 +59,17 @@ def _sep_blur(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
     r = taps.shape[0] // 2
     x = jnp.pad(x, ((0, 0), (r, r), (r, r)), mode="edge")[..., None]
     dn = ("NHWC", "HWIO", "NHWC")
+    # HIGHEST: the MXU's default bf16 operand rounding would break the
+    # tested scipy parity on the real chip (CLAUDE.md); the taps are a
+    # handful of multiplies per pixel, so exactness here is free
+    hi = jax.lax.Precision.HIGHEST
     x = jax.lax.conv_general_dilated(
-        x, taps.reshape(-1, 1, 1, 1), (1, 1), "VALID", dimension_numbers=dn
+        x, taps.reshape(-1, 1, 1, 1), (1, 1), "VALID", dimension_numbers=dn,
+        precision=hi,
     )
     x = jax.lax.conv_general_dilated(
-        x, taps.reshape(1, -1, 1, 1), (1, 1), "VALID", dimension_numbers=dn
+        x, taps.reshape(1, -1, 1, 1), (1, 1), "VALID", dimension_numbers=dn,
+        precision=hi,
     )
     return x[..., 0]
 
@@ -93,9 +99,11 @@ def critic_saliency(
         arXiv:1706.03825): average |grad| over ``samples`` copies of ``x``
         perturbed with N(0, noise²) pixel noise drawn from ``key``. The
         averaging integrates the gradient over a small input neighborhood,
-        suppressing the single-point gradient's speckle. ``samples == 1``
-        with ``noise == 0`` (default) is the deterministic single-VJP path;
-        ``key`` is required when sampling is on. Measured best on the
+        suppressing the single-point gradient's speckle. ``noise == 0``
+        (default) is the deterministic single-VJP path regardless of
+        ``samples`` — zero-noise copies are identical, so the average is
+        computed once rather than ``samples`` times. ``key`` is required
+        when ``noise > 0``. Measured best on the
         synthetic benchmark: ``logits=True, samples=8, noise=0.08,
         smooth_sigma=1.0`` → best-threshold IoU 0.475 / 0.501 with CRF,
         vs 0.268 / 0.276 deterministic (docs/artifacts/saliency.json).
@@ -108,6 +116,14 @@ def critic_saliency(
       from one batched VJP — predictions are independent across the batch,
       so pulling back a ones-vector yields each image's own gradient.
     """
+    if samples < 1:
+        raise ValueError(
+            f"critic_saliency: samples must be >= 1, got {samples} "
+            "(0 would average over an empty axis and yield all-NaN maps)"
+        )
+    if noise < 0.0:
+        raise ValueError(f"critic_saliency: noise must be >= 0, got {noise}")
+
     def score(xb):
         return critic_apply(critic_params, xb, return_logits=logits)[:, 0]
 
@@ -116,10 +132,10 @@ def critic_saliency(
         (g,) = vjp(jnp.ones_like(s))
         return s, jnp.abs(g).sum(-1)
 
-    if samples > 1 or noise > 0.0:
+    if noise > 0.0:
         if key is None:
-            raise ValueError("critic_saliency: SmoothGrad (samples>1 or "
-                             "noise>0) requires a PRNG key")
+            raise ValueError("critic_saliency: SmoothGrad (noise>0) "
+                             "requires a PRNG key")
 
         def one(k):
             return grad_abs(x + noise * jax.random.normal(k, x.shape, x.dtype))[1]
@@ -127,6 +143,8 @@ def critic_saliency(
         sal = jnp.mean(jax.vmap(one)(jax.random.split(key, samples)), 0)
         preds = score(x)
     else:
+        # noise == 0: every SmoothGrad copy would be identical — one VJP
+        # gives the exact same average at 1/samples the cost
         preds, sal = grad_abs(x)
     if logits:
         preds = jax.nn.sigmoid(preds)

@@ -141,9 +141,9 @@ def episode_device_stage(
         if unknown:
             raise ValueError(f"unknown saliency_opts keys: {sorted(unknown)}")
         sal.update(saliency_opts)
-    sal_sampling = mask_source == "saliency" and (
-        sal["samples"] > 1 or sal["noise"] > 0.0
-    )
+    # noise == 0 is the deterministic path no matter the sample count
+    # (ops/saliency.py short-circuits it) — no seed, no RNG in the program
+    sal_sampling = mask_source == "saliency" and sal["noise"] > 0.0
 
     if mesh is not None:
         vae_params = replicate(mesh, vae_params)

@@ -87,6 +87,14 @@ def test_full_mode_matrix(workspace):
           "--batch-size", "8", "--no-slice", "--no-crf",
           "--mask-source", "saliency"])
 
+    # SmoothGrad-logit options + extended sweep range (the measured optimum
+    # sits past the reference's 0..120 — --sweep-range reaches it)
+    _run(["video", *base, "--episode", os.path.join(workspace, "minerl-episode"),
+          "--batch-size", "8", "--no-slice", "--no-crf",
+          "--mask-source", "saliency", "--saliency-logits",
+          "--saliency-noise", "0.08", "--saliency-samples", "2",
+          "--saliency-sigma", "1.0", "--sweep-range", "100:140:20"])
+
     dset_path = os.path.join(workspace, "recon.npz")
     _run(["dataset", *base, "--source", "synthetic:1:32", "--out", dset_path,
           "--total-images", "32"])
@@ -105,6 +113,17 @@ def test_full_mode_matrix(workspace):
 def test_unknown_mode_fails():
     with pytest.raises(SystemExit):
         main(["definitely-not-a-mode"])
+
+
+def test_parse_sweep_range():
+    from critic_vae_tpu.cli import _parse_sweep_range
+
+    assert _parse_sweep_range("0:250:10") == list(range(0, 251, 10))
+    assert _parse_sweep_range("100:140:20") == [100, 120, 140]
+    assert _parse_sweep_range("50:52") == [50]  # default step 10
+    for bad in ("250:0", "0:300", "-5:50", "0:50:0", "a:b", "1:2:3:4", "7"):
+        with pytest.raises(SystemExit):
+            _parse_sweep_range(bad)
 
 
 @requires_reference

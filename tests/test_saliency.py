@@ -107,6 +107,26 @@ def test_smoothgrad_zero_noise_one_sample_equals_deterministic(critic, frames):
     np.testing.assert_array_equal(np.asarray(det), np.asarray(sg))
 
 
+def test_smoothgrad_zero_noise_many_samples_short_circuits(critic, frames):
+    """noise=0 with samples>1 is the deterministic path (identical copies
+    would average to the single VJP) — exact output, no key needed."""
+    x = jnp.asarray(frames)
+    _, det = critic_saliency(critic, x)
+    _, sg = critic_saliency(critic, x, samples=8, noise=0.0)
+    np.testing.assert_array_equal(np.asarray(det), np.asarray(sg))
+
+
+def test_invalid_sample_and_noise_counts_raise(critic, frames):
+    """samples=0 must fail loudly, not average over an empty axis into
+    all-NaN maps that flow silently through normalization."""
+    x = jnp.asarray(frames)
+    with pytest.raises(ValueError, match="samples"):
+        critic_saliency(critic, x, samples=0, noise=0.08,
+                        key=jax.random.key(0))
+    with pytest.raises(ValueError, match="noise"):
+        critic_saliency(critic, x, noise=-0.1, key=jax.random.key(0))
+
+
 def test_episode_forward_saliency_source(critic, frames):
     from critic_vae_tpu.ops.mask import episode_forward
 
@@ -222,3 +242,29 @@ def test_threshold_sweep_saliency(critic):
     assert [r["threshold"] for r in sweep] == [30, 60]
     for r in sweep:
         assert 0.0 <= r["thr_iou"] <= 1.0
+
+
+def test_sharded_smoothgrad_stage_equals_single(critic):
+    """Mesh-sharded saliency device stage ≡ unsharded — including the
+    SmoothGrad in-jit RNG: the noise key is built from the same traced
+    seed, and threefry is partitionable, so per-frame noise must not
+    depend on the shard layout."""
+    from critic_vae_tpu.parallel.mesh import make_mesh
+    from critic_vae_tpu.pipelines.video import episode_device_stage
+
+    assert jax.device_count() >= 8
+    rng = np.random.default_rng(3)
+    frames = rng.random((24, 64, 64, 3)).astype(np.float32)
+    vae_params, bn = init_vae_params(jax.random.key(0))
+    opts = {"logits": True, "samples": 4, "noise": 0.08, "seed": 5,
+            "sigma": 1.0}
+    kw = dict(batch_size=24, with_recons=False, mask_source="saliency",
+              saliency_opts=opts)
+    single = episode_device_stage(vae_params, bn, critic, frames, **kw)
+    sharded = episode_device_stage(
+        vae_params, bn, critic, frames, mesh=make_mesh(8), **kw
+    )
+    for k in ("preds", "diff", "max_value"):
+        np.testing.assert_allclose(
+            single[k], sharded[k], atol=1e-5, err_msg=k
+        )
