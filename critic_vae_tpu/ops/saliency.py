@@ -24,7 +24,8 @@ confident frames; alone 0.268 → 0.328), SmoothGrad averaging
 integrating the gradient over a neighborhood; on logits → 0.469), and
 lighter smoothing (``smooth_sigma=1.0`` — the averaging already denoises;
 plateau σ=0.75–1.0, → 0.475, seed-robust). Cost is exactly samples× the
-gradient stage (279k → 36.6k f/s at n=8 on the chip).
+gradient stage (~8× fewer f/s at n=8 on the chip; absolute rates vary
+~25% run-to-run with tunnel dispatch jitter — docs/DESIGN.md).
 
 TPU notes: the critic is 11,873 params, so the VJP is one cheap fused
 program; the smoothing is an exactly-separable truncated Gaussian (two
