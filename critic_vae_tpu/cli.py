@@ -158,7 +158,23 @@ def build_parser() -> argparse.ArgumentParser:
         "input-gradient maps (ops/saliency.py) — no VAE in the mask path, "
         "measured ~2.4x the diff method's IoU on the synthetic benchmark "
         "(~4.6x with --saliency-logits --saliency-noise 0.08 "
-        "--saliency-samples 8 --saliency-sigma 1.0)",
+        "--saliency-samples 8 --saliency-sigma 1.0; ~5x deterministic "
+        "with --saliency-method layercam)",
+    )
+    v.add_argument(
+        "--saliency-method", default="gradient",
+        choices=["gradient", "layercam"],
+        help="saliency estimator: 'gradient' = |d score / d x| at the "
+        "pixels (all --saliency-* options apply); 'layercam' = "
+        "ReLU(dlogit/dA * A) over an intermediate activation, upsampled "
+        "(LayerCAM, Jiang et al. 2021) — measured best mask quality "
+        "(IoU 0.514, beats SmoothGrad's 0.475) at deterministic "
+        "single-pass cost (docs/artifacts/saliency.json)",
+    )
+    v.add_argument(
+        "--saliency-cam-block", type=int, default=1, metavar="K",
+        help="layercam: which post-pool critic block to tap (0-3, spatial "
+        "32/16/8/4; measured best 1)",
     )
     v.add_argument(
         "--saliency-logits", action="store_true",
@@ -439,6 +455,8 @@ def cmd_video(args) -> int:
         "noise": args.saliency_noise,
         "seed": args.saliency_seed,
         "sigma": args.saliency_sigma,
+        "method": args.saliency_method,
+        "cam_block": args.saliency_cam_block,
     }
 
     mesh = None

@@ -154,7 +154,7 @@ def iou_stacked(gt: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
     static_argnames=(
         "with_recons", "compute_dtype", "recons_u8", "mask_source",
         "saliency_logits", "saliency_samples", "saliency_noise",
-        "saliency_sigma",
+        "saliency_sigma", "saliency_method", "saliency_cam_block",
     ),
 )
 def episode_forward(
@@ -172,6 +172,8 @@ def episode_forward(
     saliency_noise: float = 0.0,
     saliency_sigma: float = None,
     saliency_seed=None,
+    saliency_method: str = "gradient",
+    saliency_cam_block: int = 1,
 ):
     """Fused per-frame stage of the video pipeline: critic score + double
     decode + diff/greyscale/max, one XLA program over the whole frame batch
@@ -191,10 +193,12 @@ def episode_forward(
         The saliency map rides the SAME downstream
         normalization/threshold/CRF machinery via the ``diff``/``max_value``
         keys; recons are still produced when ``with_recons`` for panels.
-      saliency_logits / saliency_samples / saliency_noise / saliency_sigma:
+      saliency_logits / saliency_samples / saliency_noise / saliency_sigma /
+      saliency_method / saliency_cam_block:
         forwarded to ops/saliency.py::critic_saliency (logit-space gradients
-        + SmoothGrad averaging + smoothing σ; ``None`` σ = the module
-        default). Only consulted for the saliency source.
+        + SmoothGrad averaging + smoothing σ; ``None`` σ = the per-method
+        default; method "gradient" or "layercam" + its tap block). Only
+        consulted for the saliency source.
       saliency_seed: TRACED scalar (numpy uint32, required when
         ``saliency_noise > 0``) from which the noise key is built inside the jitted
         program. A host scalar rather than a key array for the same reason
@@ -243,7 +247,8 @@ def episode_forward(
         preds, sal = critic_saliency(
             critic_params, frames,
             logits=saliency_logits, samples=saliency_samples,
-            noise=saliency_noise, key=sal_key, **sigma_kw,
+            noise=saliency_noise, key=sal_key, method=saliency_method,
+            cam_block=saliency_cam_block, **sigma_kw,
         )
         if with_recons:
             recon_one, recon_zero, _, _ = diff_images(

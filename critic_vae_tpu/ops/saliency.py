@@ -27,6 +27,13 @@ plateau σ=0.75–1.0, → 0.475, seed-robust). Cost is exactly samples× the
 gradient stage (~8× fewer f/s at n=8 on the chip; absolute rates vary
 ~25% run-to-run with tunnel dispatch jitter — docs/DESIGN.md).
 
+``method="layercam"`` beats both at deterministic single-pass cost:
+**0.514** best-threshold IoU from ReLU(∂logit/∂A ⊙ A) over block 1's
+post-pool activation, bilinearly upsampled 16×16 → 64×64 — the
+element-wise activation product integrates evidence the way SmoothGrad's
+8-sample averaging approximates, but exactly and for free (one
+forward+backward, no noise, no seed).
+
 TPU notes: the critic is 11,873 params, so the VJP is one cheap fused
 program; the smoothing is an exactly-separable truncated Gaussian (two
 depthwise 1-D convs, same construction as the CRF's spatial kernel,
@@ -42,7 +49,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from critic_vae_tpu.models.critic import critic_apply
+from critic_vae_tpu.models.critic import _conv_same, _maxpool2, critic_apply
 
 DEFAULT_SMOOTH_SIGMA = 1.5  # best of the measured {1.0, 1.5, 2.0} sweep
 
@@ -75,15 +82,41 @@ def _sep_blur(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
     return x[..., 0]
 
 
+def _logit_and_tap(critic_params, x: jnp.ndarray, block: int, offset):
+    """Critic forward to the logit, returning block ``block``'s post-pool
+    activation with ``offset`` added (the zero-offset VJP trick: the
+    gradient w.r.t. ``offset`` IS ∂logit/∂activation, and ``has_aux``
+    hands back the activation itself from the same forward)."""
+    h = x
+    tap = None
+    for i in range(4):
+        h = _maxpool2(jax.nn.relu(_conv_same(
+            h, critic_params[f"conv{i}_w"], critic_params[f"conv{i}_b"]
+        )))
+        if i == block:
+            h = h + offset
+            tap = h
+    h = jax.lax.conv_general_dilated(
+        h, critic_params["conv4_w"], (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + critic_params["conv4_b"]
+    z = jax.nn.relu(h).reshape(h.shape[0], -1)
+    z = jax.nn.relu(z @ critic_params["fc0_w"] + critic_params["fc0_b"])
+    logit = (z @ critic_params["fc1_w"] + critic_params["fc1_b"])[:, 0]
+    return logit, tap
+
+
 def critic_saliency(
     critic_params,
     x: jnp.ndarray,
     *,
-    smooth_sigma: float = DEFAULT_SMOOTH_SIGMA,
+    smooth_sigma: float = None,
     logits: bool = False,
     samples: int = 1,
     noise: float = 0.0,
     key=None,
+    method: str = "gradient",
+    cam_block: int = 1,
 ):
     """Saliency maps + predictions for a batch of frames, one fused program.
 
@@ -91,29 +124,54 @@ def critic_saliency(
       x: (B, 64, 64, 3) float frames in [0, 1], NHWC (critic input contract,
         models/critic.py).
       smooth_sigma: Gaussian smoothing σ in pixels; 0 disables smoothing.
+        ``None`` (default) picks the measured per-method best: 1.5 for
+        ``gradient``, 0 for ``layercam`` (CAM maps are already
+        neighborhood-integrated — blurring only costs IoU, 0.514 → 0.508).
+      method: ``"gradient"`` — |∂ score / ∂ x| channel-summed at the
+        pixels (the original round-3 source, all options below apply).
+        ``"layercam"`` — LayerCAM (Jiang et al. 2021, IEEE TIP):
+        ReLU(∂logit/∂A ⊙ A) channel-summed over an intermediate
+        activation A and bilinearly upsampled. Element-wise weighting
+        keeps spatial structure that Grad-CAM's global-average weights
+        blur out, which is what lets an EARLY block (16×16) carry a
+        64×64 mask. Measured best-threshold IoU **0.514** at
+        ``cam_block=1`` — beats even SmoothGrad-logit (0.475) while
+        staying deterministic and single-pass (~6× the SmoothGrad-n=8
+        throughput; same cost class as ``gradient``). CAM always
+        differentiates the pre-sigmoid logit (σ′ damping hurts it the
+        same way it hurts pixel gradients; ``logits`` is ignored).
+      cam_block: which post-pool activation LayerCAM taps (0–3; spatial
+        32/16/8/4). Measured: block 1 is the sweet spot (0.514) — block 0
+        is too local (the per-location dot with later-layer structure
+        collapses, 0.078), blocks 2–3 too coarse (0.366/0.231); fusing
+        blocks only dilutes (product/min/sum all ≤ 0.455,
+        docs/artifacts/saliency.json).
       logits: differentiate the pre-sigmoid logit instead of the probability.
         Probability gradients vanish where the critic saturates (σ'(z) → 0
         exactly on the confident frames that carry the strongest evidence);
         logit gradients don't. Returned ``preds`` are ALWAYS probabilities
         regardless (downstream value injection / bin info contract).
       samples / noise / key: SmoothGrad (Smilkov et al. 2017,
-        arXiv:1706.03825): average |grad| over ``samples`` copies of ``x``
+        arXiv:1706.03825): average the map over ``samples`` copies of ``x``
         perturbed with N(0, noise²) pixel noise drawn from ``key``. The
-        averaging integrates the gradient over a small input neighborhood,
+        averaging integrates the map over a small input neighborhood,
         suppressing the single-point gradient's speckle. ``noise == 0``
         (default) is the deterministic single-VJP path regardless of
         ``samples`` — zero-noise copies are identical, so the average is
         computed once rather than ``samples`` times. ``key`` is required
-        when ``noise > 0``. Measured best on the
-        synthetic benchmark: ``logits=True, samples=8, noise=0.08,
-        smooth_sigma=1.0`` → best-threshold IoU 0.475 / 0.501 with CRF,
-        vs 0.268 / 0.276 deterministic (docs/artifacts/saliency.json).
+        when ``noise > 0``. Measured best for ``gradient``:
+        ``logits=True, samples=8, noise=0.08, smooth_sigma=1.0`` →
+        best-threshold IoU 0.475 / 0.501 with CRF, vs 0.268 / 0.276
+        deterministic. For ``layercam`` noise buys nothing (the
+        activation-space product already integrates; measured ≤ 0.514 at
+        every probed noise) — keep the deterministic default.
+        (docs/artifacts/saliency.json for all numbers.)
 
     Returns:
       (preds (B,), saliency (B, H, W) float32): ``preds`` are the critic
       probabilities on the CLEAN input (identical to
-      ``critic_apply(params, x)[:, 0]``) and ``saliency`` is |∂ score / ∂ x|
-      summed over RGB, sample-averaged, smoothed. Per-image gradients come
+      ``critic_apply(params, x)[:, 0]``) and ``saliency`` is the
+      sample-averaged, smoothed map. Per-image gradients come
       from one batched VJP — predictions are independent across the batch,
       so pulling back a ones-vector yields each image's own gradient.
     """
@@ -124,14 +182,44 @@ def critic_saliency(
         )
     if noise < 0.0:
         raise ValueError(f"critic_saliency: noise must be >= 0, got {noise}")
+    if method not in ("gradient", "layercam"):
+        raise ValueError(
+            f"critic_saliency: unknown method {method!r} (gradient|layercam)"
+        )
+    if method == "layercam" and not 0 <= cam_block <= 3:
+        raise ValueError(
+            f"critic_saliency: cam_block must be in 0..3, got {cam_block}"
+        )
+    if smooth_sigma is None:
+        smooth_sigma = DEFAULT_SMOOTH_SIGMA if method == "gradient" else 0.0
 
-    def score(xb):
-        return critic_apply(critic_params, xb, return_logits=logits)[:, 0]
+    if method == "gradient":
+        def score(xb):
+            return critic_apply(critic_params, xb, return_logits=logits)[:, 0]
 
-    def grad_abs(xb):
-        s, vjp = jax.vjp(score, xb)
-        (g,) = vjp(jnp.ones_like(s))
-        return s, jnp.abs(g).sum(-1)
+        def sal_one(xb):
+            s, vjp = jax.vjp(score, xb)
+            (g,) = vjp(jnp.ones_like(s))
+            return s, jnp.abs(g).sum(-1)
+
+        def to_prob(s):
+            return jax.nn.sigmoid(s) if logits else s
+    else:
+        tap_hw = x.shape[1] >> (cam_block + 1), x.shape[2] >> (cam_block + 1)
+        tap_c = critic_params[f"conv{cam_block}_w"].shape[-1]
+
+        def sal_one(xb):
+            off = jnp.zeros((xb.shape[0], *tap_hw, tap_c), xb.dtype)
+            logit, vjp, a = jax.vjp(
+                lambda o: _logit_and_tap(critic_params, xb, cam_block, o),
+                off, has_aux=True,
+            )
+            (g,) = vjp(jnp.ones_like(logit))
+            m = jax.nn.relu(g * a).sum(-1)
+            m = jax.image.resize(m, (m.shape[0], *xb.shape[1:3]), "bilinear")
+            return logit, m
+
+        to_prob = jax.nn.sigmoid
 
     if noise > 0.0:
         if key is None:
@@ -139,16 +227,19 @@ def critic_saliency(
                              "requires a PRNG key")
 
         def one(k):
-            return grad_abs(x + noise * jax.random.normal(k, x.shape, x.dtype))[1]
+            return sal_one(x + noise * jax.random.normal(k, x.shape, x.dtype))[1]
 
         sal = jnp.mean(jax.vmap(one)(jax.random.split(key, samples)), 0)
-        preds = score(x)
+        preds = to_prob(
+            critic_apply(critic_params, x, return_logits=True)[:, 0]
+            if method == "layercam" else
+            critic_apply(critic_params, x, return_logits=logits)[:, 0]
+        )
     else:
         # noise == 0: every SmoothGrad copy would be identical — one VJP
         # gives the exact same average at 1/samples the cost
-        preds, sal = grad_abs(x)
-    if logits:
-        preds = jax.nn.sigmoid(preds)
+        preds, sal = sal_one(x)
+        preds = to_prob(preds)
     if smooth_sigma and smooth_sigma > 0:
         sal = _sep_blur(sal, jnp.asarray(gaussian_taps(smooth_sigma)))
     return preds, sal.astype(jnp.float32)

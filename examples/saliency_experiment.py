@@ -11,14 +11,19 @@ with crf_backend="device"), on the 550-frame held-out synthetic episode:
    averaged maps concentrate mass — the best threshold moves past the
    reference's 0..120 range), fine sweep, 3-seed robustness at the best
    threshold, and throughput.
+3. **LayerCAM** (`--saliency-method layercam`): coarse+fine sweep and
+   throughput for the measured-best deterministic estimator
+   (ReLU(∂logit/∂A ⊙ A) over block 1, ops/saliency.py).
 
 The probe-level tuning grids recorded under "sg_tuning" (noise, sigma,
-sample count) came from direct critic_saliency sweeps with the same
-mean-max normalization; re-run those with --tune (adds ~10 min).
+sample count) and "cam_tuning" (tap block, episode-seed robustness,
+SmoothGrad-over-CAM) came from direct critic_saliency sweeps with the
+same mean-max normalization; re-run those with --tune (adds ~10 min).
 
-Run: python examples/saliency_experiment.py [out.json]  (expects a TPU;
-defaults to docs/artifacts/saliency.json). Results quoted in
-docs/RESULTS.md "Breaking the ceiling" and README.
+Run: python examples/saliency_experiment.py [out.json] [--cam-only] (expects
+a TPU; defaults to docs/artifacts/saliency.json; --cam-only merges section 3
+into an existing artifact). Results quoted in docs/RESULTS.md "Breaking the
+ceiling" and README.
 """
 
 import json
@@ -105,7 +110,50 @@ def _probe_tuning(critic, frames, gt):
     }
 
 
-def main(out_path, tune=False):
+def _probe_cam(critic, frames, gt):
+    """Direct critic_saliency CAM grids: tap block, episode-seed
+    robustness, SmoothGrad-over-CAM (all deterministic except the latter).
+    Same mean-max normalization as _probe_tuning."""
+    import jax
+    import jax.numpy as jnp
+
+    from critic_vae_tpu.data.synthetic import generate_frames
+    from critic_vae_tpu.ops.iou import iou
+    from critic_vae_tpu.ops.saliency import critic_saliency
+
+    def best_iou(frames_u8, gt_b, **kw):
+        x = jnp.asarray(frames_u8.astype(np.float32) / 255.0)
+        f = jax.jit(lambda xb, k: critic_saliency(critic, xb, key=k, **kw)[1])
+        sal = np.concatenate([np.asarray(f(x[i:i + 128], jax.random.key(i)))
+                              for i in range(0, len(x), 128)])
+        mm = sal.max(axis=(1, 2)).mean()
+        u8 = np.clip(sal / max(mm, 1e-12) * 255.0, 0, 255).astype(np.uint8)
+        return max(iou(gt_b, u8 > t) for t in range(0, 254, 2))
+
+    res = {
+        "block": {str(b): best_iou(frames, gt, method="layercam", cam_block=b)
+                  for b in range(4)},
+        "smoothgrad_over_cam_n8": {
+            str(nz): best_iou(frames, gt, method="layercam", cam_block=1,
+                              samples=8, noise=nz)
+            for nz in (0.05, 0.08, 0.12)
+        },
+        "note": "probe-level (direct critic_saliency + mean-max normalize); "
+                "block 0 is too local, 2-3 too coarse; input noise buys "
+                "nothing on CAM maps; pipeline-level sweep under cam_*",
+    }
+    res["episode_seed"] = {}
+    for seed in (4242, 777):
+        f2, g2 = generate_frames(550, seed=seed)
+        res["episode_seed"][str(seed)] = {
+            "layercam_b1": best_iou(f2, g2, method="layercam", cam_block=1),
+            "sg_logit_grad": best_iou(
+                f2, g2, logits=True, samples=8, noise=0.08, smooth_sigma=1.0),
+        }
+    return res
+
+
+def main(out_path, tune=False, cam_only=False):
     import jax
 
     cache = os.path.expanduser("~/.cache/critic_vae_tpu/jax")
@@ -122,32 +170,52 @@ def main(out_path, tune=False):
     # the saliency mask path never touches the VAE; fresh params are fine
     params, bn = init_vae_params(jax.random.key(0))
     res = {}
+    if cam_only and os.path.exists(out_path):
+        with open(out_path) as f:
+            res = json.load(f)
 
-    # 1. deterministic (reference-range sweep: the signal peaks in-range)
-    sweep, best, fine, fb = _coarse_plus_fine(
-        params, bn, critic, frames, gt, range(0, 130, 10))
-    res.update(sweep=sweep, best=best, fine_sweep=fine, fine_best=fb)
-    print("deterministic best:", fb, flush=True)
-    res["saliency_stage_frames_per_sec"] = _throughput(
-        params, bn, critic, frames)
+    if not cam_only:
+        # 1. deterministic (reference-range sweep: the signal peaks in-range)
+        sweep, best, fine, fb = _coarse_plus_fine(
+            params, bn, critic, frames, gt, range(0, 130, 10))
+        res.update(sweep=sweep, best=best, fine_sweep=fine, fine_best=fb)
+        print("deterministic best:", fb, flush=True)
+        res["saliency_stage_frames_per_sec"] = _throughput(
+            params, bn, critic, frames)
 
-    # 2. SmoothGrad-logit (extended range: best threshold ≈ 122)
-    res["sg_opts"] = SG_OPTS
-    if tune:
-        res["sg_tuning"] = _probe_tuning(critic, frames, gt)
+        # 2. SmoothGrad-logit (extended range: best threshold ≈ 122)
+        res["sg_opts"] = SG_OPTS
+        if tune:
+            res["sg_tuning"] = _probe_tuning(critic, frames, gt)
+        sweep, best, fine, fb = _coarse_plus_fine(
+            params, bn, critic, frames, gt, range(0, 251, 10), SG_OPTS)
+        res.update(sg_sweep=sweep, sg_best=best, sg_fine_sweep=fine,
+                   sg_fine_best=fb)
+        print("smoothgrad-logit best:", fb, flush=True)
+        for seed in (101, 202):
+            s = _sweep(params, bn, critic, frames, gt, [fb["threshold"]],
+                       dict(SG_OPTS, seed=seed))
+            res[f"sg_seed{seed}_thr_iou"] = s[0]["thr_iou"]
+            print(f"seed {seed}: {s[0]['thr_iou']}", flush=True)
+        res["sg_stage_frames_per_sec"] = _throughput(
+            params, bn, critic, frames, saliency_logits=True,
+            saliency_samples=8, saliency_noise=0.08, saliency_sigma=1.0,
+            saliency_seed=np.uint32(0))
+
+    # 3. LayerCAM (block 1, deterministic — the measured-best estimator)
+    CAM_OPTS = {"method": "layercam", "cam_block": 1}
+    res["cam_opts"] = CAM_OPTS
+    if tune or cam_only:
+        res["cam_tuning"] = _probe_cam(critic, frames, gt)
+        print("cam tuning:", res["cam_tuning"], flush=True)
     sweep, best, fine, fb = _coarse_plus_fine(
-        params, bn, critic, frames, gt, range(0, 251, 10), SG_OPTS)
-    res.update(sg_sweep=sweep, sg_best=best, sg_fine_sweep=fine,
-               sg_fine_best=fb)
-    print("smoothgrad-logit best:", fb, flush=True)
-    for seed in (101, 202):
-        s = _sweep(params, bn, critic, frames, gt, [fb["threshold"]],
-                   dict(SG_OPTS, seed=seed))
-        res[f"sg_seed{seed}_thr_iou"] = s[0]["thr_iou"]
-        print(f"seed {seed}: {s[0]['thr_iou']}", flush=True)
-    res["sg_stage_frames_per_sec"] = _throughput(
-        params, bn, critic, frames, saliency_logits=True, saliency_samples=8,
-        saliency_noise=0.08, saliency_sigma=1.0, saliency_seed=np.uint32(0))
+        params, bn, critic, frames, gt, range(0, 251, 10), CAM_OPTS)
+    res.update(cam_sweep=sweep, cam_best=best, cam_fine_sweep=fine,
+               cam_fine_best=fb)
+    print("layercam best:", fb, flush=True)
+    res["cam_stage_frames_per_sec"] = _throughput(
+        params, bn, critic, frames, saliency_method="layercam",
+        saliency_cam_block=1)
 
     with open(out_path, "w") as f:
         json.dump(res, f, indent=2)
@@ -155,7 +223,7 @@ def main(out_path, tune=False):
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--tune"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     main(args[0] if args else os.path.join(REPO, "docs", "artifacts",
                                            "saliency.json"),
-         tune="--tune" in sys.argv)
+         tune="--tune" in sys.argv, cam_only="--cam-only" in sys.argv)

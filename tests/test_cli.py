@@ -95,6 +95,11 @@ def test_full_mode_matrix(workspace):
           "--saliency-noise", "0.08", "--saliency-samples", "2",
           "--saliency-sigma", "1.0", "--sweep-range", "100:140:20"])
 
+    # LayerCAM saliency method (measured best mask quality, deterministic)
+    _run(["video", *base, "--episode", os.path.join(workspace, "minerl-episode"),
+          "--batch-size", "8", "--no-slice", "--no-crf", "--no-gif",
+          "--mask-source", "saliency", "--saliency-method", "layercam"])
+
     dset_path = os.path.join(workspace, "recon.npz")
     _run(["dataset", *base, "--source", "synthetic:1:32", "--out", dset_path,
           "--total-images", "32"])

@@ -116,6 +116,87 @@ def test_smoothgrad_zero_noise_many_samples_short_circuits(critic, frames):
     np.testing.assert_array_equal(np.asarray(det), np.asarray(sg))
 
 
+def test_layercam_matches_independent_head_tail_split(critic, frames):
+    """The zero-offset VJP trick must equal a direct head/tail split:
+    run the critic to block k, differentiate the tail w.r.t. the
+    activation, ReLU(g*a).sum(-1), bilinear-upsample."""
+    from critic_vae_tpu.models.critic import _conv_same, _maxpool2
+
+    x = jnp.asarray(frames)
+
+    def head(h, k):
+        for i in range(k + 1):
+            h = _maxpool2(jax.nn.relu(_conv_same(
+                h, critic[f"conv{i}_w"], critic[f"conv{i}_b"])))
+        return h
+
+    def tail(a, k):
+        h = a
+        for i in range(k + 1, 4):
+            h = _maxpool2(jax.nn.relu(_conv_same(
+                h, critic[f"conv{i}_w"], critic[f"conv{i}_b"])))
+        h = jax.lax.conv_general_dilated(
+            h, critic["conv4_w"], (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + critic["conv4_b"]
+        z = jax.nn.relu(h).reshape(h.shape[0], -1)
+        z = jax.nn.relu(z @ critic["fc0_w"] + critic["fc0_b"])
+        return (z @ critic["fc1_w"] + critic["fc1_b"])[:, 0]
+
+    for k in (0, 1, 3):
+        a = head(x, k)
+        s, vjp = jax.vjp(lambda aa: tail(aa, k), a)
+        (g,) = vjp(jnp.ones_like(s))
+        want = jax.image.resize(
+            jax.nn.relu(g * a).sum(-1), (len(frames), 64, 64), "bilinear")
+        _, got = critic_saliency(critic, x, method="layercam", cam_block=k)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-6, err_msg=f"block {k}")
+
+
+def test_layercam_preds_are_critic_probabilities(critic, frames):
+    x = jnp.asarray(frames)
+    direct = critic_apply(critic, x)[:, 0]
+    for kw in ({}, {"samples": 2, "noise": 0.05, "key": jax.random.key(1)}):
+        preds, sal = critic_saliency(critic, x, method="layercam", **kw)
+        np.testing.assert_allclose(
+            np.asarray(preds), np.asarray(direct), atol=1e-6)
+        assert sal.shape == (4, 64, 64) and sal.dtype == jnp.float32
+        s = np.asarray(sal)
+        assert np.all(s >= 0) and np.all(np.isfinite(s))
+
+
+def test_layercam_default_sigma_is_zero(critic, frames):
+    """The per-method smoothing default: gradient keeps 1.5, layercam 0
+    (measured: blurring CAM maps only costs IoU)."""
+    x = jnp.asarray(frames)
+    _, default = critic_saliency(critic, x, method="layercam")
+    _, sig0 = critic_saliency(critic, x, method="layercam", smooth_sigma=0)
+    _, sig15 = critic_saliency(critic, x, method="layercam", smooth_sigma=1.5)
+    np.testing.assert_array_equal(np.asarray(default), np.asarray(sig0))
+    assert not np.allclose(np.asarray(default), np.asarray(sig15))
+
+
+def test_layercam_validation(critic, frames):
+    x = jnp.asarray(frames)
+    with pytest.raises(ValueError, match="cam_block"):
+        critic_saliency(critic, x, method="layercam", cam_block=4)
+    with pytest.raises(ValueError, match="method"):
+        critic_saliency(critic, x, method="gradcam")
+
+
+def test_episode_forward_layercam(critic, frames):
+    from critic_vae_tpu.ops.mask import episode_forward
+
+    vae_params, bn = init_vae_params(jax.random.key(0))
+    out = episode_forward(
+        vae_params, bn, critic, jnp.asarray(frames), mask_source="saliency",
+        saliency_method="layercam", saliency_cam_block=1, with_recons=False,
+    )
+    _, sal = critic_saliency(critic, jnp.asarray(frames), method="layercam")
+    np.testing.assert_allclose(np.asarray(out["diff"]), np.asarray(sal),
+                               atol=1e-6)
+
+
 def test_invalid_sample_and_noise_counts_raise(critic, frames):
     """samples=0 must fail loudly, not average over an empty axis into
     all-NaN maps that flow silently through normalization."""
