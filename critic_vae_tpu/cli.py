@@ -165,11 +165,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--saliency-method", default="gradient",
         choices=["gradient", "layercam"],
         help="saliency estimator: 'gradient' = |d score / d x| at the "
-        "pixels (all --saliency-* options apply); 'layercam' = "
-        "ReLU(dlogit/dA * A) over an intermediate activation, upsampled "
-        "(LayerCAM, Jiang et al. 2021) — measured best mask quality "
-        "(IoU 0.514, beats SmoothGrad's 0.475) at deterministic "
-        "single-pass cost (docs/artifacts/saliency.json)",
+        "pixels; 'layercam' = ReLU(dlogit/dA * A) over an intermediate "
+        "activation, upsampled (LayerCAM, Jiang et al. 2021) — measured "
+        "best mask quality (IoU 0.514, beats SmoothGrad's 0.475) at "
+        "deterministic single-pass cost (docs/artifacts/saliency.json). "
+        "--saliency-noise/--saliency-samples apply to both methods "
+        "(measured: noise buys layercam nothing); --saliency-logits only "
+        "to gradient (layercam always differentiates the logit)",
     )
     v.add_argument(
         "--saliency-cam-block", type=int, default=1, metavar="K",
@@ -197,9 +199,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     v.add_argument(
         "--saliency-sigma", type=float, default=None, metavar="SIGMA",
-        help="saliency: Gaussian smoothing sigma in pixels (default 1.5 — "
-        "best for the deterministic gradient; with SmoothGrad the "
-        "averaging already denoises, measured best 1.0)",
+        help="saliency: Gaussian smoothing sigma in pixels; 0 disables. "
+        "Default is per-method: 1.5 for gradient (best deterministic), "
+        "0 for layercam (blurring CAM maps costs IoU). With SmoothGrad "
+        "the averaging already denoises — measured best 1.0",
     )
     v.add_argument("--no-gif", action="store_true")
     v.add_argument(

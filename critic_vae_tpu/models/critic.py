@@ -53,6 +53,7 @@ def critic_apply(
     dropout_rate: float = 0.5,
     rng: jax.Array | None = None,
     return_logits: bool = False,
+    tap_offset: Tuple[int, jnp.ndarray] | None = None,
 ) -> jnp.ndarray | Tuple[jnp.ndarray, List[jnp.ndarray]]:
     """Tree-trunk probability for a batch of frames.
 
@@ -67,10 +68,18 @@ def critic_apply(
         the framework can produce its own critics (train/critic.py).
       rng: dropout key (required when ``train``).
       return_logits: return pre-sigmoid logits (stable BCE training).
+      tap_offset: ``(block, offset)`` — add ``offset`` to block ``block``'s
+        post-pool activation and ALSO return the offset-added activation.
+        This is the CAM hook (ops/saliency.py): differentiating the output
+        w.r.t. a zeros ``offset`` yields ∂out/∂activation from the same
+        forward, without duplicating the architecture outside this
+        function. Inert when None. Composes with ``collect`` (the tap is
+        appended after the embed list).
 
     Returns:
       (B, 1) probabilities in (0, 1) (or logits); with ``collect``, also a
-      list of five intermediate activations.
+      list of five intermediate activations; with ``tap_offset``, also the
+      tapped activation (last).
     """
     dtype = x.dtype
     if train and rng is None:
@@ -85,10 +94,14 @@ def critic_apply(
         return jnp.where(mask, h / keep, 0.0).astype(h.dtype)
 
     embeds: List[jnp.ndarray] = []
+    tap = None
     for i in range(4):
         x = _conv_same(x, params[f"conv{i}_w"].astype(dtype), params[f"conv{i}_b"].astype(dtype))
         x = jax.nn.relu(x)
         x = _maxpool2(x)
+        if tap_offset is not None and tap_offset[0] == i:
+            x = x + tap_offset[1]
+            tap = x
         if collect:
             embeds.append(x)
         if i == 2:
@@ -109,9 +122,12 @@ def critic_apply(
     h = dropout(h, keys[2])
     logit = h @ params["fc1_w"].astype(dtype) + params["fc1_b"].astype(dtype)
     pred = logit if return_logits else jax.nn.sigmoid(logit)
+    out = (pred,)
     if collect:
-        return pred, embeds
-    return pred
+        out = out + (embeds,)
+    if tap_offset is not None:
+        out = out + (tap,)
+    return out if len(out) > 1 else pred
 
 
 def init_critic_params(key: jax.Array, dims=(8, 8, 8, 16), bottleneck: int = 32,

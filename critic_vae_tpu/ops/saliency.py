@@ -49,7 +49,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from critic_vae_tpu.models.critic import _conv_same, _maxpool2, critic_apply
+from critic_vae_tpu.models.critic import critic_apply
 
 DEFAULT_SMOOTH_SIGMA = 1.5  # best of the measured {1.0, 1.5, 2.0} sweep
 
@@ -82,30 +82,6 @@ def _sep_blur(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
     return x[..., 0]
 
 
-def _logit_and_tap(critic_params, x: jnp.ndarray, block: int, offset):
-    """Critic forward to the logit, returning block ``block``'s post-pool
-    activation with ``offset`` added (the zero-offset VJP trick: the
-    gradient w.r.t. ``offset`` IS ∂logit/∂activation, and ``has_aux``
-    hands back the activation itself from the same forward)."""
-    h = x
-    tap = None
-    for i in range(4):
-        h = _maxpool2(jax.nn.relu(_conv_same(
-            h, critic_params[f"conv{i}_w"], critic_params[f"conv{i}_b"]
-        )))
-        if i == block:
-            h = h + offset
-            tap = h
-    h = jax.lax.conv_general_dilated(
-        h, critic_params["conv4_w"], (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    ) + critic_params["conv4_b"]
-    z = jax.nn.relu(h).reshape(h.shape[0], -1)
-    z = jax.nn.relu(z @ critic_params["fc0_w"] + critic_params["fc0_b"])
-    logit = (z @ critic_params["fc1_w"] + critic_params["fc1_b"])[:, 0]
-    return logit, tap
-
-
 def critic_saliency(
     critic_params,
     x: jnp.ndarray,
@@ -127,6 +103,9 @@ def critic_saliency(
         ``None`` (default) picks the measured per-method best: 1.5 for
         ``gradient``, 0 for ``layercam`` (CAM maps are already
         neighborhood-integrated — blurring only costs IoU, 0.514 → 0.508).
+        NOTE: before the layercam round, ``None`` fell through the falsy
+        check and behaved like 0; it now means "per-method default" — pass
+        an explicit 0 to disable smoothing.
       method: ``"gradient"`` — |∂ score / ∂ x| channel-summed at the
         pixels (the original round-3 source, all options below apply).
         ``"layercam"`` — LayerCAM (Jiang et al. 2021, IEEE TIP):
@@ -204,22 +183,36 @@ def critic_saliency(
 
         def to_prob(s):
             return jax.nn.sigmoid(s) if logits else s
+
+        def post(m):  # gradient maps are already input-resolution
+            return m
     else:
         tap_hw = x.shape[1] >> (cam_block + 1), x.shape[2] >> (cam_block + 1)
         tap_c = critic_params[f"conv{cam_block}_w"].shape[-1]
 
         def sal_one(xb):
+            """Tap-resolution CAM map via the zero-offset VJP trick: the
+            critic_apply tap hook adds a zeros offset to the activation
+            and returns it; the gradient w.r.t. the offset IS
+            ∂logit/∂activation, from one shared forward."""
             off = jnp.zeros((xb.shape[0], *tap_hw, tap_c), xb.dtype)
             logit, vjp, a = jax.vjp(
-                lambda o: _logit_and_tap(critic_params, xb, cam_block, o),
+                lambda o: critic_apply(
+                    critic_params, xb, return_logits=True,
+                    tap_offset=(cam_block, o)),
                 off, has_aux=True,
             )
             (g,) = vjp(jnp.ones_like(logit))
-            m = jax.nn.relu(g * a).sum(-1)
-            m = jax.image.resize(m, (m.shape[0], *xb.shape[1:3]), "bilinear")
-            return logit, m
+            return logit[:, 0], jax.nn.relu(g * a).sum(-1)
 
         to_prob = jax.nn.sigmoid
+
+        def post(m):
+            # resize AFTER sample-averaging: bilinear is linear, so the
+            # mean of resizes equals one resize of the mean at 1/samples
+            # the upsampling work
+            return jax.image.resize(m, (m.shape[0], *x.shape[1:3]),
+                                    "bilinear")
 
     if noise > 0.0:
         if key is None:
@@ -229,7 +222,7 @@ def critic_saliency(
         def one(k):
             return sal_one(x + noise * jax.random.normal(k, x.shape, x.dtype))[1]
 
-        sal = jnp.mean(jax.vmap(one)(jax.random.split(key, samples)), 0)
+        sal = post(jnp.mean(jax.vmap(one)(jax.random.split(key, samples)), 0))
         preds = to_prob(
             critic_apply(critic_params, x, return_logits=True)[:, 0]
             if method == "layercam" else
@@ -239,7 +232,7 @@ def critic_saliency(
         # noise == 0: every SmoothGrad copy would be identical — one VJP
         # gives the exact same average at 1/samples the cost
         preds, sal = sal_one(x)
-        preds = to_prob(preds)
+        preds, sal = to_prob(preds), post(sal)
     if smooth_sigma and smooth_sigma > 0:
         sal = _sep_blur(sal, jnp.asarray(gaussian_taps(smooth_sigma)))
     return preds, sal.astype(jnp.float32)

@@ -130,14 +130,23 @@ def _probe_cam(critic, frames, gt):
         u8 = np.clip(sal / max(mm, 1e-12) * 255.0, 0, 255).astype(np.uint8)
         return max(iou(gt_b, u8 > t) for t in range(0, 254, 2))
 
+    def _grid(name, items):
+        out = {}
+        for key, kw in items:
+            out[key] = best_iou(*kw[0], **kw[1])
+            print(f"  cam probe {name}[{key}] = {out[key]}", flush=True)
+        return out
+
     res = {
-        "block": {str(b): best_iou(frames, gt, method="layercam", cam_block=b)
-                  for b in range(4)},
-        "smoothgrad_over_cam_n8": {
-            str(nz): best_iou(frames, gt, method="layercam", cam_block=1,
-                              samples=8, noise=nz)
-            for nz in (0.05, 0.08, 0.12)
-        },
+        "block": _grid("block", [
+            (str(b), ((frames, gt),
+                      dict(method="layercam", cam_block=b)))
+            for b in range(4)]),
+        "smoothgrad_over_cam_n8": _grid("sg_over_cam", [
+            (str(nz), ((frames, gt),
+                       dict(method="layercam", cam_block=1,
+                            samples=8, noise=nz)))
+            for nz in (0.05, 0.08, 0.12)]),
         "note": "probe-level (direct critic_saliency + mean-max normalize); "
                 "block 0 is too local, 2-3 too coarse; input noise buys "
                 "nothing on CAM maps; pipeline-level sweep under cam_*",
@@ -170,7 +179,14 @@ def main(out_path, tune=False, cam_only=False):
     # the saliency mask path never touches the VAE; fresh params are fine
     params, bn = init_vae_params(jax.random.key(0))
     res = {}
-    if cam_only and os.path.exists(out_path):
+    if cam_only:
+        # merge-only mode must never silently degrade into a partial
+        # artifact: the det/sg sections it skips are quoted by docs
+        if not os.path.exists(out_path):
+            raise SystemExit(
+                f"--cam-only merges into an existing artifact, but "
+                f"{out_path} does not exist (typo'd path?) — run the full "
+                f"experiment first or fix the path")
         with open(out_path) as f:
             res = json.load(f)
 
@@ -223,6 +239,10 @@ def main(out_path, tune=False, cam_only=False):
 
 
 if __name__ == "__main__":
+    known = {"--tune", "--cam-only"}
+    unknown = [a for a in sys.argv[1:] if a.startswith("--") and a not in known]
+    if unknown:  # a typo'd flag must not silently launch the full run
+        raise SystemExit(f"unknown flag(s) {unknown}; known: {sorted(known)}")
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     main(args[0] if args else os.path.join(REPO, "docs", "artifacts",
                                            "saliency.json"),

@@ -176,6 +176,19 @@ def test_layercam_default_sigma_is_zero(critic, frames):
     assert not np.allclose(np.asarray(default), np.asarray(sig15))
 
 
+def test_layercam_handles_nonf32_critic_params(critic, frames):
+    """The CAM path must inherit critic_apply's param→input dtype casts
+    (regression: a hand-copied forward without the casts crashed on any
+    non-f32 checkpoint while the gradient method worked)."""
+    x = jnp.asarray(frames)
+    bf16 = {k: v.astype(jnp.bfloat16) for k, v in critic.items()}
+    ref_preds, ref_sal = critic_saliency(critic, x, method="layercam")
+    preds, sal = critic_saliency(bf16, x, method="layercam")
+    np.testing.assert_allclose(np.asarray(preds), np.asarray(ref_preds),
+                               atol=0.02)
+    assert sal.shape == ref_sal.shape
+
+
 def test_layercam_validation(critic, frames):
     x = jnp.asarray(frames)
     with pytest.raises(ValueError, match="cam_block"):
