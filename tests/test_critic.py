@@ -70,6 +70,31 @@ def test_collect_feature_maps(critic_params, source_images):
 
 
 @requires_reference
+def test_tap_offset_hook_is_inert_and_composes_with_collect(
+        critic_params, source_images):
+    """The CAM hook (tap_offset): a zeros offset must not change preds or
+    embeds, the returned tap must equal the matching collect embed, and a
+    nonzero offset must flow through to the prediction."""
+    x = jnp.asarray(source_images[:2])
+    base_preds, base_embeds = critic_apply(critic_params, x, collect=True)
+    zeros = jnp.zeros((2, 16, 16, 8))
+    preds, embeds, tap = critic_apply(
+        critic_params, x, collect=True, tap_offset=(1, zeros))
+    np.testing.assert_allclose(np.asarray(preds), np.asarray(base_preds),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tap), np.asarray(base_embeds[1]),
+                               atol=1e-6)
+    for got, want in zip(embeds, base_embeds):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6)
+    bumped = critic_apply(critic_params, x, tap_offset=(1, zeros + 0.5))
+    preds2, tap2 = bumped
+    assert not np.allclose(np.asarray(preds2), np.asarray(base_preds))
+    np.testing.assert_allclose(np.asarray(tap2),
+                               np.asarray(base_embeds[1]) + 0.5, atol=1e-6)
+
+
+@requires_reference
 def test_jit_compiles_once(critic_params):
     traces = 0
 
