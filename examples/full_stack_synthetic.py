@@ -99,6 +99,21 @@ def main(out_dir="/tmp/cvt-fullstack"):
 
     dev_crf = refine_masks_device(ep_frames, result.thr_masks)
     print(f"    crf_iou(device-exact)={iou_fn(ep_gt, dev_crf)}")
+
+    # beyond-reference contrast: the LayerCAM saliency mask source asks the
+    # fresh critic directly where its evidence is — no VAE in the mask path
+    # (ops/saliency.py; measured ~5x the diff method's IoU on synthetic)
+    from critic_vae_tpu.pipelines.video import threshold_sweep
+
+    sweep = threshold_sweep(
+        params, bn, critic_params, ep_frames, ep_gt,
+        thresholds=list(range(60, 161, 20)), run_crf=False,
+        mask_source="saliency",
+        saliency_opts={"method": "layercam"}, batch_size=512,
+    )
+    best = max(sweep, key=lambda r: r["thr_iou"])
+    print(f"    layercam thr_iou={best['thr_iou']} @thr={best['threshold']} "
+          f"(vs diff {result.thr_iou})")
     diag = bin_diagnostics(result.preds, ep_gt, result.thr_masks)
     write_bin_info(diag, os.path.join(out_dir, "bin_info_vae1.txt"), len(ep_frames))
     strips = compose_frames(ep_frames[:120], result, ep_gt[:120], threshold=50)
