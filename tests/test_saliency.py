@@ -362,3 +362,25 @@ def test_sharded_smoothgrad_stage_equals_single(critic):
         np.testing.assert_allclose(
             single[k], sharded[k], atol=1e-5, err_msg=k
         )
+
+
+def test_sharded_layercam_stage_equals_single(critic):
+    """Mesh-sharded LayerCAM ≡ unsharded: the tap VJP and bilinear
+    upsample are per-frame, so batch sharding must be transparent."""
+    from critic_vae_tpu.parallel.mesh import make_mesh
+    from critic_vae_tpu.pipelines.video import episode_device_stage
+
+    assert jax.device_count() >= 8
+    rng = np.random.default_rng(4)
+    frames = rng.random((24, 64, 64, 3)).astype(np.float32)
+    vae_params, bn = init_vae_params(jax.random.key(0))
+    kw = dict(batch_size=24, with_recons=False, mask_source="saliency",
+              saliency_opts={"method": "layercam", "cam_block": 1})
+    single = episode_device_stage(vae_params, bn, critic, frames, **kw)
+    sharded = episode_device_stage(
+        vae_params, bn, critic, frames, mesh=make_mesh(8), **kw
+    )
+    for k in ("preds", "diff", "max_value"):
+        np.testing.assert_allclose(
+            single[k], sharded[k], atol=1e-5, err_msg=k
+        )
