@@ -233,6 +233,26 @@ def main(out_path, tune=False, cam_only=False):
         params, bn, critic, frames, saliency_method="layercam",
         saliency_cam_block=1)
 
+    # 3b. CRF params were tuned on recon-diff masks; search them for CAM
+    # masks at the best threshold (crf_param_search: every combination
+    # refines the ORIGINAL threshold masks, scored by whole-stack IoU)
+    from critic_vae_tpu.crf.device import crf_param_search
+    from critic_vae_tpu.pipelines.video import eval_episode
+
+    thr_masks = eval_episode(
+        params, bn, critic, frames, gt, threshold=fb["threshold"],
+        run_crf=False, mask_source="saliency", saliency_opts=CAM_OPTS,
+    ).thr_masks
+    _, search = crf_param_search(
+        frames, thr_masks, gt,
+        {"w1": [5.5, 11.0, 22.0, 44.0], "alpha": [40.0, 80.0, 160.0],
+         "beta": [1.55, 3.1, 6.2], "w2": [2.0, 4.0, 8.0]},
+    )
+    res["cam_crf_search_top10"] = [
+        {"iou": s, "w1": p[0], "alpha": p[1], "beta": p[2], "w2": p[3],
+         "gamma": p[4], "iters": p[5]} for s, p in search[:10]]
+    print("cam crf search best:", res["cam_crf_search_top10"][0], flush=True)
+
     with open(out_path, "w") as f:
         json.dump(res, f, indent=2)
     print("wrote", out_path, flush=True)
