@@ -167,8 +167,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="saliency estimator: 'gradient' = |d score / d x| at the "
         "pixels; 'layercam' = ReLU(dlogit/dA * A) over an intermediate "
         "activation, upsampled (LayerCAM, Jiang et al. 2021) — measured "
-        "best mask quality (IoU 0.514, beats SmoothGrad's 0.475) at "
-        "deterministic single-pass cost (docs/artifacts/saliency.json). "
+        "best mask quality (probe-level best-threshold IoU 0.514 vs "
+        "SmoothGrad's 0.475; docs/artifacts/saliency.json) at "
+        "deterministic single-pass cost. "
         "--saliency-noise/--saliency-samples apply to both methods "
         "(measured: noise buys layercam nothing); --saliency-logits only "
         "to gradient (layercam always differentiates the logit)",

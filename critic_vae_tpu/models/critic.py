@@ -54,7 +54,7 @@ def critic_apply(
     rng: jax.Array | None = None,
     return_logits: bool = False,
     tap_offset: Tuple[int, jnp.ndarray] | None = None,
-) -> jnp.ndarray | Tuple[jnp.ndarray, List[jnp.ndarray]]:
+) -> jnp.ndarray | Tuple:  # (pred[, embeds][, tap]) as enabled below
     """Tree-trunk probability for a batch of frames.
 
     Args:
@@ -84,6 +84,10 @@ def critic_apply(
     dtype = x.dtype
     if train and rng is None:
         raise ValueError("train=True requires a dropout rng")
+    if tap_offset is not None and not 0 <= tap_offset[0] <= 3:
+        raise ValueError(
+            f"tap_offset block must be in 0..3 (post-pool activations), "
+            f"got {tap_offset[0]}")
     keys = jax.random.split(rng, 3) if train else [None] * 3
 
     def dropout(h, key):

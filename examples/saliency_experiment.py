@@ -121,14 +121,19 @@ def _probe_cam(critic, frames, gt):
     from critic_vae_tpu.ops.iou import iou
     from critic_vae_tpu.ops.saliency import critic_saliency
 
-    def best_iou(frames_u8, gt_b, **kw):
-        x = jnp.asarray(frames_u8.astype(np.float32) / 255.0)
-        f = jax.jit(lambda xb, k: critic_saliency(critic, xb, key=k, **kw)[1])
-        sal = np.concatenate([np.asarray(f(x[i:i + 128], jax.random.key(i)))
-                              for i in range(0, len(x), 128)])
+    def best_of_maps(sal, gt_b):
         mm = sal.max(axis=(1, 2)).mean()
         u8 = np.clip(sal / max(mm, 1e-12) * 255.0, 0, 255).astype(np.uint8)
         return max(iou(gt_b, u8 > t) for t in range(0, 254, 2))
+
+    def maps(frames_u8, **kw):
+        x = jnp.asarray(frames_u8.astype(np.float32) / 255.0)
+        f = jax.jit(lambda xb, k: critic_saliency(critic, xb, key=k, **kw)[1])
+        return np.concatenate([np.asarray(f(x[i:i + 128], jax.random.key(i)))
+                               for i in range(0, len(x), 128)])
+
+    def best_iou(frames_u8, gt_b, **kw):
+        return best_of_maps(maps(frames_u8, **kw), gt_b)
 
     def _grid(name, items):
         out = {}
@@ -151,6 +156,27 @@ def _probe_cam(critic, frames, gt):
                 "block 0 is too local, 2-3 too coarse; input noise buys "
                 "nothing on CAM maps; pipeline-level sweep under cam_*",
     }
+    # per-block fusions (the docstring's product/min/sum/sqrt <= 0.455
+    # claim) and the smoothing-sigma grid (blur only costs IoU on CAM)
+    M = {b: maps(frames, method="layercam", cam_block=b, smooth_sigma=0)
+         for b in range(4)}
+
+    def n01(m):
+        return m / np.maximum(m.max(axis=(1, 2), keepdims=True), 1e-12)
+
+    fusions = {
+        "b1xb2": n01(M[1]) * n01(M[2]),
+        "b1xb2xb3": n01(M[1]) * n01(M[2]) * n01(M[3]),
+        "sqrt_b1xb2": np.sqrt(n01(M[1]) * n01(M[2])),
+        "b1+b2": n01(M[1]) + n01(M[2]),
+        "min_b1b2": np.minimum(n01(M[1]), n01(M[2])),
+    }
+    res["fusion"] = {k: best_of_maps(v, gt) for k, v in fusions.items()}
+    print("  cam probe fusion:", res["fusion"], flush=True)
+    res["sigma"] = {str(s): best_iou(frames, gt, method="layercam",
+                                     cam_block=1, smooth_sigma=s)
+                    for s in (0.0, 1.0, 1.5)}
+    print("  cam probe sigma:", res["sigma"], flush=True)
     res["episode_seed"] = {}
     for seed in (4242, 777):
         f2, g2 = generate_frames(550, seed=seed)
@@ -241,7 +267,8 @@ def main(out_path, tune=False, cam_only=False):
 
     thr_masks = eval_episode(
         params, bn, critic, frames, gt, threshold=fb["threshold"],
-        run_crf=False, mask_source="saliency", saliency_opts=CAM_OPTS,
+        run_crf=False, with_recons=False,  # only .thr_masks is consumed
+        mask_source="saliency", saliency_opts=CAM_OPTS,
     ).thr_masks
     _, search = crf_param_search(
         frames, thr_masks, gt,
