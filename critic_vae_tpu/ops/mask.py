@@ -155,6 +155,7 @@ def iou_stacked(gt: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
         "with_recons", "compute_dtype", "recons_u8", "mask_source",
         "saliency_logits", "saliency_samples", "saliency_noise",
         "saliency_sigma", "saliency_method", "saliency_cam_block",
+        "saliency_cam_upsample",
     ),
 )
 def episode_forward(
@@ -174,6 +175,7 @@ def episode_forward(
     saliency_seed=None,
     saliency_method: str = "gradient",
     saliency_cam_block: int = 1,
+    saliency_cam_upsample: str = "lanczos3",
 ):
     """Fused per-frame stage of the video pipeline: critic score + double
     decode + diff/greyscale/max, one XLA program over the whole frame batch
@@ -248,7 +250,8 @@ def episode_forward(
             critic_params, frames,
             logits=saliency_logits, samples=saliency_samples,
             noise=saliency_noise, key=sal_key, method=saliency_method,
-            cam_block=saliency_cam_block, **sigma_kw,
+            cam_block=saliency_cam_block,
+            cam_upsample=saliency_cam_upsample, **sigma_kw,
         )
         if with_recons:
             recon_one, recon_zero, _, _ = diff_images(

@@ -119,7 +119,8 @@ def episode_device_stage(
     ``saliency_opts`` (only read for ``mask_source="saliency"``) is a dict
     with any of ``logits`` (bool), ``samples`` (int), ``noise`` (float),
     ``seed`` (int), ``sigma`` (float smoothing σ; None = per-method
-    default), ``method`` ("gradient" | "layercam"), ``cam_block`` (int) —
+    default), ``method`` ("gradient" | "layercam"), ``cam_block`` (int),
+    ``cam_upsample`` (interpolation kernel) —
     the options of ops/saliency.py::critic_saliency. When sampling is on, each chunk gets
     its own noise stream via ``seed + chunk_index`` (distinct threefry
     seeds are independent streams), passed as a traced host scalar so the
@@ -137,7 +138,7 @@ def episode_device_stage(
     from critic_vae_tpu.parallel.mesh import replicate, shard_batch
 
     sal = dict(logits=False, samples=1, noise=0.0, seed=0, sigma=None,
-               method="gradient", cam_block=1)
+               method="gradient", cam_block=1, cam_upsample="lanczos3")
     if saliency_opts:
         unknown = set(saliency_opts) - set(sal)
         if unknown:
@@ -177,6 +178,7 @@ def episode_device_stage(
             saliency_logits=sal["logits"], saliency_samples=sal["samples"],
             saliency_noise=sal["noise"], saliency_sigma=sal["sigma"],
             saliency_method=sal["method"], saliency_cam_block=sal["cam_block"],
+            saliency_cam_upsample=sal["cam_upsample"],
             saliency_seed=(
                 np.uint32(sal["seed"] + i // batch_size) if sal_sampling
                 else None

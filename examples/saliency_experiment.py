@@ -177,6 +177,10 @@ def _probe_cam(critic, frames, gt):
                                      cam_block=1, smooth_sigma=s)
                     for s in (0.0, 1.0, 1.5)}
     print("  cam probe sigma:", res["sigma"], flush=True)
+    res["upsample"] = _grid("upsample", [
+        (k, ((frames, gt),
+             dict(method="layercam", cam_block=1, cam_upsample=k)))
+        for k in ("bilinear", "bicubic", "lanczos3")])
     res["episode_seed"] = {}
     for seed in (4242, 777):
         f2, g2 = generate_frames(550, seed=seed)

@@ -26,11 +26,12 @@ from critic_vae_tpu.models.critic import load_critic
 from critic_vae_tpu.models.vae import init_vae_params
 from critic_vae_tpu.pipelines.video import threshold_sweep
 
-# recorded 2026-08-17 at commit 0ca5cf6 (48 frames, seed 9999,
-# critic-synthetic.npz, fresh VAE key(0) — the saliency path never
-# consults the VAE)
+# recorded 2026-08-18 (48 frames, seed 9999, critic-synthetic.npz,
+# fresh VAE key(0) — the saliency path never consults the VAE);
+# layercam values are the lanczos3-upsample default
 GOLDEN = {
-    "layercam": [(80, 0.481), (112, 0.493), (140, 0.479)],
+    "layercam": [(80, 0.498), (100, 0.499), (140, 0.464)],
+    "layercam-bilinear": [(80, 0.481), (112, 0.493), (140, 0.479)],
     "gradient": [(60, 0.270), (110, 0.279), (150, 0.233)],
 }
 
@@ -43,9 +44,12 @@ def test_saliency_pipeline_iou_matches_recorded_golden(method):
         "saved-networks", "critic-synthetic.npz"))
     params, bn = init_vae_params(jax.random.key(0))
     thrs = [t for t, _ in GOLDEN[method]]
+    opts = {"method": method.split("-")[0]}
+    if method.endswith("-bilinear"):
+        opts["cam_upsample"] = "bilinear"
     sweep = threshold_sweep(
         params, bn, critic, frames, gt, thresholds=thrs, run_crf=False,
-        mask_source="saliency", saliency_opts={"method": method},
+        mask_source="saliency", saliency_opts=opts,
         batch_size=16,
     )
     got = {r["threshold"]: r["thr_iou"] for r in sweep}

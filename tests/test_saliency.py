@@ -146,11 +146,15 @@ def test_layercam_matches_independent_head_tail_split(critic, frames):
         a = head(x, k)
         s, vjp = jax.vjp(lambda aa: tail(aa, k), a)
         (g,) = vjp(jnp.ones_like(s))
-        want = jax.image.resize(
-            jax.nn.relu(g * a).sum(-1), (len(frames), 64, 64), "bilinear")
-        _, got = critic_saliency(critic, x, method="layercam", cam_block=k)
-        np.testing.assert_allclose(
-            np.asarray(got), np.asarray(want), atol=1e-6, err_msg=f"block {k}")
+        raw = jax.nn.relu(g * a).sum(-1)
+        for kernel in ("bilinear", "lanczos3"):
+            want = jnp.maximum(jax.image.resize(
+                raw, (len(frames), 64, 64), kernel), 0)
+            _, got = critic_saliency(critic, x, method="layercam",
+                                     cam_block=k, cam_upsample=kernel)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=1e-6,
+                err_msg=f"block {k} {kernel}")
 
 
 def test_layercam_preds_are_critic_probabilities(critic, frames):
@@ -195,6 +199,8 @@ def test_layercam_validation(critic, frames):
         critic_saliency(critic, x, method="layercam", cam_block=4)
     with pytest.raises(ValueError, match="method"):
         critic_saliency(critic, x, method="gradcam")
+    with pytest.raises(ValueError, match="cam_upsample"):
+        critic_saliency(critic, x, method="layercam", cam_upsample="cubic")
 
 
 def test_episode_forward_layercam(critic, frames):
