@@ -276,8 +276,8 @@ def main(out_path, tune=False, cam_only=False):
     ).thr_masks
     _, search = crf_param_search(
         frames, thr_masks, gt,
-        {"w1": [5.5, 11.0, 22.0, 44.0], "alpha": [40.0, 80.0, 160.0],
-         "beta": [1.55, 3.1, 6.2], "w2": [2.0, 4.0, 8.0]},
+        {"w1": [11.0, 22.0, 44.0], "alpha": [6.0, 12.0, 24.0],
+         "beta": [1.55, 3.1, 6.2], "w2": [4.0, 8.0, 16.0]},
     )
     res["cam_crf_search_top10"] = [
         {"iou": s, "w1": p[0], "alpha": p[1], "beta": p[2], "w2": p[3],
