@@ -144,6 +144,14 @@ def build_parser() -> argparse.ArgumentParser:
         "(MXU matmuls; no host bottleneck)",
     )
     v.add_argument(
+        "--crf-params", default=None, metavar="W1,ALPHA,BETA,W2,GAMMA,ITERS",
+        help="explicit CRF parameter 6-tuple (default: the reference's "
+        "22,12,3.1,8,1.8,10 — tuned for recon-diff masks). LayerCAM "
+        "saliency masks want a much stronger bilateral term: w1=88 lifts "
+        "CRF IoU 0.58 -> 0.78-0.80 across episode seeds (docs/RESULTS.md); "
+        "try 88,12,3.1,8,1.8,10 with --mask-source saliency",
+    )
+    v.add_argument(
         "--crf-search", nargs="?", const="", default=None, metavar="GRID",
         help="run a real CRF hyperparameter search on the device backend "
         "(the reference's grid scaffold is degenerate, vae_utility.py:25-30) "
@@ -452,10 +460,19 @@ def cmd_video(args) -> int:
               "(the sweep varies the threshold, the search varies CRF "
               "parameters at one threshold)", file=sys.stderr)
         return 1
-    # parse the search grid BEFORE the episode pass — a typo'd spec must not
-    # cost minutes of device work
+    if args.crf_params is not None and args.crf_search is not None:
+        print("error: --crf-params and --crf-search are mutually exclusive "
+              "(the search finds parameters; pass its winner back via "
+              "--crf-params)", file=sys.stderr)
+        return 1
+    # parse the search grid / explicit params BEFORE the episode pass — a
+    # typo'd spec must not cost minutes of device work
     search_grid = (
         _parse_crf_grid(args.crf_search) if args.crf_search is not None else None
+    )
+    crf_param_kw = (
+        {"crf_params": _parse_crf_params(args.crf_params)}
+        if args.crf_params is not None else {}
     )
 
     from critic_vae_tpu.utils.profiling import profile_trace
@@ -490,6 +507,7 @@ def cmd_video(args) -> int:
                 batch_size=args.batch_size, compute_dtype=args.dtype,
                 mesh=mesh, crf_backend=args.crf_backend,
                 mask_source=args.mask_source, saliency_opts=saliency_opts,
+                **crf_param_kw,
             )
         if pri:
             for r in results:
@@ -506,6 +524,7 @@ def cmd_video(args) -> int:
             recons_u8=True,  # panels consume uint8; 4x less device fetch
             with_recons=not args.no_gif,  # recons feed panels only
             mask_source=args.mask_source, saliency_opts=saliency_opts,
+            **crf_param_kw,
         )
 
     if args.crf_search is not None:
@@ -567,6 +586,23 @@ def _parse_sweep_range(spec: str) -> list:
             "(thresholds apply to uint8 maps) and STEP >= 1"
         )
     return list(range(lo, hi + 1, step))
+
+
+def _parse_crf_params(spec: str) -> tuple:
+    """Parse 'w1,alpha,beta,w2,gamma,iters' into the CRF 6-tuple."""
+    parts = [p.strip() for p in spec.split(",")]
+    if len(parts) != 6:
+        raise SystemExit(
+            f"bad --crf-params {spec!r}: expected 6 comma-separated values "
+            "(w1,alpha,beta,w2,gamma,iters)"
+        )
+    try:
+        return tuple([float(v) for v in parts[:5]] + [int(parts[5])])
+    except ValueError:
+        raise SystemExit(
+            f"bad --crf-params {spec!r}: first five must be numbers, "
+            "iters an integer"
+        )
 
 
 def _parse_crf_grid(spec: str) -> dict:

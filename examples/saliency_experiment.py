@@ -274,10 +274,13 @@ def main(out_path, tune=False, cam_only=False):
         run_crf=False, with_recons=False,  # only .thr_masks is consumed
         mask_source="saliency", saliency_opts=CAM_OPTS,
     ).thr_masks
+    # CAM masks want a much stronger bilateral term than the diff masks
+    # the reference params were tuned for: CPU-exact probes measured
+    # 22 -> 0.579, 44 -> 0.760, 88 -> 0.791, 132 -> 0.793 at threshold 96
     _, search = crf_param_search(
         frames, thr_masks, gt,
-        {"w1": [11.0, 22.0, 44.0], "alpha": [6.0, 12.0, 24.0],
-         "beta": [1.55, 3.1, 6.2], "w2": [4.0, 8.0, 16.0]},
+        {"w1": [22.0, 44.0, 88.0, 132.0, 176.0], "alpha": [12.0, 24.0],
+         "beta": [1.55, 3.1], "w2": [8.0, 16.0]},
     )
     res["cam_crf_search_top10"] = [
         {"iou": s, "w1": p[0], "alpha": p[1], "beta": p[2], "w2": p[3],

@@ -96,9 +96,11 @@ def test_full_mode_matrix(workspace):
           "--saliency-sigma", "1.0", "--sweep-range", "100:140:20"])
 
     # LayerCAM saliency method (measured best mask quality, deterministic)
+    # + explicit CRF params (the CAM-tuned bilateral weight, docs/RESULTS.md)
     _run(["video", *base, "--episode", os.path.join(workspace, "minerl-episode"),
-          "--batch-size", "8", "--no-slice", "--no-crf", "--no-gif",
-          "--mask-source", "saliency", "--saliency-method", "layercam"])
+          "--batch-size", "8", "--no-slice", "--no-gif",
+          "--mask-source", "saliency", "--saliency-method", "layercam",
+          "--crf-backend", "device", "--crf-params", "88,12,3.1,8,1.8,10"])
 
     dset_path = os.path.join(workspace, "recon.npz")
     _run(["dataset", *base, "--source", "synthetic:1:32", "--out", dset_path,
@@ -118,6 +120,17 @@ def test_full_mode_matrix(workspace):
 def test_unknown_mode_fails():
     with pytest.raises(SystemExit):
         main(["definitely-not-a-mode"])
+
+
+def test_parse_crf_params():
+    from critic_vae_tpu.cli import _parse_crf_params
+
+    assert _parse_crf_params("88,12,3.1,8,1.8,10") == (88.0, 12.0, 3.1, 8.0,
+                                                       1.8, 10)
+    for bad in ("88,12,3.1,8,1.8", "a,b,c,d,e,f", "88,12,3.1,8,1.8,10.5",
+                "88 12 3.1 8 1.8 10"):
+        with pytest.raises(SystemExit):
+            _parse_crf_params(bad)
 
 
 def test_parse_sweep_range():
