@@ -147,9 +147,9 @@ def build_parser() -> argparse.ArgumentParser:
         "--crf-params", default=None, metavar="W1,ALPHA,BETA,W2,GAMMA,ITERS",
         help="explicit CRF parameter 6-tuple (default: the reference's "
         "22,12,3.1,8,1.8,10 — tuned for recon-diff masks). LayerCAM "
-        "saliency masks want a much stronger bilateral term: w1=88 lifts "
-        "CRF IoU 0.58 -> 0.78-0.80 across episode seeds (docs/RESULTS.md); "
-        "try 88,12,3.1,8,1.8,10 with --mask-source saliency",
+        "saliency masks want a much stronger bilateral term: "
+        "132,32,3.1,8,1.8,10 lifts CRF IoU 0.58 -> 0.79-0.81 across "
+        "episode seeds (docs/RESULTS.md); use with --mask-source saliency",
     )
     v.add_argument(
         "--crf-search", nargs="?", const="", default=None, metavar="GRID",
