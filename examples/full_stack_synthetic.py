@@ -114,6 +114,18 @@ def main(out_dir="/tmp/cvt-fullstack"):
     best = max(sweep, key=lambda r: r["thr_iou"])
     print(f"    layercam thr_iou={best['thr_iou']} @thr={best['threshold']} "
           f"(vs diff {result.thr_iou})")
+    cam = eval_episode(
+        params, bn, critic_params, ep_frames, ep_gt,
+        threshold=best["threshold"], run_crf=False, with_recons=False,
+        mask_source="saliency", saliency_opts={"method": "layercam"},
+        batch_size=512,
+    )
+    # CAM masks want a ~6x stronger bilateral term than the reference
+    # CRF tuple (docs/RESULTS.md "Re-tuning the CRF for CAM masks")
+    cam_crf = refine_masks_device(
+        ep_frames, cam.thr_masks, (132.0, 32.0, 3.1, 8.0, 1.8, 10))
+    print(f"    layercam + tuned CRF iou={iou_fn(ep_gt, cam_crf)} "
+          f"(vs diff+CRF {result.crf_iou})")
     diag = bin_diagnostics(result.preds, ep_gt, result.thr_masks)
     write_bin_info(diag, os.path.join(out_dir, "bin_info_vae1.txt"), len(ep_frames))
     strips = compose_frames(ep_frames[:120], result, ep_gt[:120], threshold=50)
