@@ -175,8 +175,8 @@ def build_parser() -> argparse.ArgumentParser:
         help="saliency estimator: 'gradient' = |d score / d x| at the "
         "pixels; 'layercam' = ReLU(dlogit/dA * A) over an intermediate "
         "activation, upsampled (LayerCAM, Jiang et al. 2021) — measured "
-        "best mask quality (probe-level best-threshold IoU 0.524 vs "
-        "SmoothGrad's 0.475; docs/artifacts/saliency.json) at "
+        "best mask quality (pipeline best-threshold IoU 0.524 on the "
+        "chip vs SmoothGrad's 0.475; docs/artifacts/saliency.json) at "
         "deterministic single-pass cost. "
         "--saliency-noise/--saliency-samples apply to both methods "
         "(measured: noise buys layercam nothing); --saliency-logits only "
@@ -191,8 +191,8 @@ def build_parser() -> argparse.ArgumentParser:
         "--saliency-cam-upsample", default="lanczos3",
         choices=["bilinear", "bicubic", "lanczos3", "nearest"],
         help="layercam: 16x16 -> 64x64 interpolation kernel (sharper "
-        "kernels keep boundary detail: lanczos3 0.524 vs bilinear 0.514 "
-        "probe-level, consistent across episode seeds)",
+        "kernels keep boundary detail: lanczos3 0.524 vs bilinear 0.514, "
+        "consistent across episode seeds)",
     )
     v.add_argument(
         "--saliency-logits", action="store_true",
