@@ -274,11 +274,24 @@ def _mean_field_frame(img_u8, prob, taps, w1, w2, alpha, beta, xy, h, w,
     return _mean_field_iterate(mb, prob, taps, w2, h, w, iters, soft=soft)
 
 
-def _chunk_mean_field(imgs_u8, probs, taps, w1, w2, alpha, beta,
+def _chunk_mean_field(imgs_u8, probs, taps, w1, w2, alpha, beta, gamma,
                       h, w, iters, compute_dtype, soft, fused):
     """Shared chunk body. ``fused`` is the resolved build mode: "xla"
-    (materialized gram build), "pallas" (streamed bf16/f32 M), or "int8"
-    (quantized kernel + int8 matvec iterations)."""
+    (materialized gram build), "pallas" (streamed bf16/f32 M), "int8"
+    (quantized kernel + int8 matvec iterations), or "vmem" (fully-fused
+    resident-matrix kernel, crf/fused_resident.py)."""
+    if fused == "vmem" and probs.shape[-1] == 2:
+        from critic_vae_tpu.crf.fused_resident import mean_field_resident
+
+        q = mean_field_resident(
+            imgs_u8, probs, taps, w1, w2, alpha, beta, gamma,
+            h=h, w=w, iters=iters,
+        )
+        if soft:
+            return q
+        return (q[..., 1] > q[..., 0]).astype(jnp.uint8)
+    if fused == "vmem":  # L != 2: paired reduction does not apply
+        fused = "pallas"
     if fused == "int8":
         return _chunk_mean_field_i8(
             imgs_u8, probs, taps, w1, w2, alpha, beta, h, w, iters, soft
@@ -313,6 +326,7 @@ def _crf_chunk(
     w2: jnp.ndarray,
     alpha: jnp.ndarray,
     beta: jnp.ndarray,
+    gamma: jnp.ndarray,
     *,
     h: int,
     w: int,
@@ -322,7 +336,7 @@ def _crf_chunk(
     fused: str = "xla",
 ) -> jnp.ndarray:
     return _chunk_mean_field(
-        imgs_u8, probs, taps, w1, w2, alpha, beta,
+        imgs_u8, probs, taps, w1, w2, alpha, beta, gamma,
         h, w, iters, compute_dtype, soft, fused,
     )
 
@@ -338,6 +352,7 @@ def _crf_chunk_from_masks(
     w2: jnp.ndarray,
     alpha: jnp.ndarray,
     beta: jnp.ndarray,
+    gamma: jnp.ndarray,
     *,
     h: int,
     w: int,
@@ -354,7 +369,7 @@ def _crf_chunk_from_masks(
     m = masks_u8.astype(jnp.float32)
     probs = jnp.stack([1.0 - m, m], axis=-1)
     return _chunk_mean_field(
-        imgs_u8, probs, taps, w1, w2, alpha, beta,
+        imgs_u8, probs, taps, w1, w2, alpha, beta, gamma,
         h, w, iters, compute_dtype, soft, fused,
     )
 
@@ -370,6 +385,7 @@ def _crf_chunk_from_masks_multi(
     w2: jnp.ndarray,
     alpha: jnp.ndarray,
     beta: jnp.ndarray,
+    gamma: jnp.ndarray,
     *,
     h: int,
     w: int,
@@ -384,6 +400,15 @@ def _crf_chunk_from_masks_multi(
     del soft
     m = masks_u8.astype(jnp.float32)
     probs = jnp.stack([1.0 - m, m], axis=-1)  # (C, N, T, 2)
+    if fused == "vmem":
+        from critic_vae_tpu.crf.fused_resident import mean_field_resident
+
+        c, n, t, _ = probs.shape
+        q = mean_field_resident(
+            imgs_u8, probs.reshape(c, n, t * 2), taps, w1, w2, alpha, beta,
+            gamma, h=h, w=w, iters=iters,
+        ).reshape(c, n, t, 2)
+        return (q[..., 1] > q[..., 0]).astype(jnp.uint8).transpose(0, 2, 1)
     if fused in ("pallas", "int8"):
         # int8 resolves to the streamed bf16 build here: the lane-packed
         # matmul wants a plain M operand
@@ -415,12 +440,23 @@ def _spatial_taps(gamma: float, h: int, w: int) -> np.ndarray:
 
 
 def _resolve_build(build: str, h: int, w: int, mesh=None) -> str:
-    """Resolve a build mode to one of "xla" | "pallas" | "int8".
+    """Resolve a build mode to one of "xla" | "pallas" | "int8" | "vmem".
 
     * "xla": materialized gram build (the exact parity surface; works
-      everywhere, the only mode that shards over a multi-device mesh).
+      everywhere).
     * "pallas": Pallas-streamed M in ``compute_dtype`` (bf16/f32) — no N²
       f32 intermediates in HBM (crf/fused_build.build_bilateral).
+    * "vmem": fully-fused resident-matrix kernel — build AND all mean-field
+      iterations in one pallas_call with the (N, N) bf16 matrix living in
+      VMEM; zero N² HBM traffic (crf/fused_resident.py). Needs
+      N ≤ MAX_RESIDENT_N (the matrix must fit the core's VMEM) and
+      2-class probabilities (the mask-refinement surface); other L fall
+      back to "pallas" inside the chunk body. Measured ≈ parity with
+      "pallas" (1,269 vs 1,312 f/s single-mask, same-run), NOT faster:
+      Mosaic stages scratch-resident matmul operands through a copy, so
+      the VMEM-resident dot costs about what the HBM-streamed dot does —
+      kept as a validated opt-in with the lesson recorded in
+      docs/DESIGN.md "The resident mean-field kernel".
     * "int8": quantized-kernel formulation — single-sweep int8 kernel store
       + int8 matvec iterations (1 byte/element of iteration traffic;
       crf/fused_build.build_kernel_i8/matvec_i8). Correct (segmentation
@@ -430,35 +466,39 @@ def _resolve_build(build: str, h: int, w: int, mesh=None) -> str:
       back in padded vector traffic and the MXU stays lane-pad-bound
       either way. Kept as a validated experimental mode; the lesson is
       recorded in docs/DESIGN.md.
-    * "auto": "pallas" on real TPU hardware when N = H·W divides by 128 and no
-      multi-device mesh is given; "xla" otherwise (CPU meshes keep the XLA
-      build — interpret-mode Pallas is a per-tile Python loop; pallas_call
-      has no partitioning rule for sharded operands).
+    * "auto": "pallas" on real TPU hardware when N = H·W divides by 128;
+      "xla" otherwise (CPU meshes keep the XLA build — interpret-mode
+      Pallas is a per-tile Python loop).
+
+    Under a multi-device mesh the Pallas chunk bodies are dispatched
+    through ``jax.shard_map`` over the frame axis (``pallas_call`` has no
+    auto-partitioning rule, but frames are embarrassingly parallel so the
+    per-device body needs no collectives — see _meshed_dispatch).
 
     Env override: CRITIC_VAE_TPU_CRF_BUILD.
     """
+    from critic_vae_tpu.crf.fused_resident import MAX_RESIDENT_N
+
     build = os.environ.get("CRITIC_VAE_TPU_CRF_BUILD", build)
     if build == "xla":
         return "xla"
-    meshed = mesh is not None and getattr(mesh, "devices", np.empty(0)).size > 1
     divisible = (h * w) % 128 == 0
-    if build in ("pallas", "int8"):
+    if build in ("pallas", "int8", "vmem"):
         if not divisible:
             raise ValueError(
                 f"build={build!r} needs H*W divisible by 128, got {h}x{w}"
             )
-        if meshed:
+        if build == "vmem" and h * w > MAX_RESIDENT_N:
             raise ValueError(
-                f"build={build!r} does not shard over a multi-device mesh "
-                "(no partitioning rule for pallas_call) — use build='auto' "
-                "or 'xla' with a mesh"
+                f"build='vmem' needs H*W <= {MAX_RESIDENT_N} (the resident "
+                f"matrix must fit VMEM), got {h}x{w} — use 'pallas'"
             )
         return build
     if build == "auto":
-        if divisible and not meshed and jax.default_backend() == "tpu":
+        if divisible and jax.default_backend() == "tpu":
             return "pallas"
         return "xla"
-    raise ValueError(f"unknown build {build!r} (auto|xla|pallas|int8)")
+    raise ValueError(f"unknown build {build!r} (auto|xla|pallas|int8|vmem)")
 
 
 def densecrf_device(
@@ -492,7 +532,10 @@ def densecrf_device(
         interface (and the reference's denseCRF) cannot expose.
       build: bilateral-matrix build path — "xla" (default here: the exact
         parity surface), "pallas" (streaming VMEM build, no N² f32
-        intermediates — crf/fused_build.py), or "auto" (pallas on TPU).
+        intermediates — crf/fused_build.py), "vmem" (fully-fused
+        resident-matrix kernel, zero N² HBM traffic —
+        crf/fused_resident.py; 2-class probs only, others fall back to
+        "pallas"), or "auto" (pallas on TPU).
 
     Returns:
       (N, H, W) uint8 argmax labels, or (N, H, W, L) float32 marginals with
@@ -517,6 +560,37 @@ def densecrf_device(
     return out[0] if single else out
 
 
+_MESHED_DISPATCH_CACHE: dict = {}
+
+
+def _meshed_dispatch(chunk_fn, mesh, **statics):
+    """Shard a Pallas/int8 chunk body over the mesh's data axis.
+
+    ``pallas_call`` has no partitioning rule, so XLA cannot auto-shard the
+    streamed builds the way it shards the plain-XLA chunk body. Frames are
+    embarrassingly parallel (no collectives — SURVEY §2.3), so the correct
+    meshed dispatch is ``jax.shard_map``: each device runs the identical
+    chunk body on its local (chunk/ndev) frame slice. Callables are cached
+    per (body, mesh, statics) so repeated chunks hit jit's trace cache."""
+    key = (chunk_fn, mesh, tuple(sorted(statics.items())))
+    fn = _MESHED_DISPATCH_CACHE.get(key)
+    if fn is None:
+        from jax.sharding import PartitionSpec as P
+
+        from critic_vae_tpu.parallel.mesh import DATA_AXIS
+
+        body = functools.partial(chunk_fn.__wrapped__, **statics)
+        data, rep = P(DATA_AXIS), P()
+        fn = jax.jit(jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(data, data, rep, rep, rep, rep, rep, rep),
+            out_specs=data,
+            check_vma=False,
+        ))
+        _MESHED_DISPATCH_CACHE[key] = fn
+    return fn
+
+
 def _run_chunked(chunk_fn, flat_imgs, flat_second, params,
                  h, w, frame_chunk, compute_dtype, mesh=None,
                  soft=False, build: str = "xla") -> np.ndarray:
@@ -534,10 +608,14 @@ def _run_chunked(chunk_fn, flat_imgs, flat_second, params,
     # Cap the chunk so the per-chunk N^2 bilateral matrices stay within a
     # few GB of HBM: at 64x64 the default chunk of 64 is ~4.3 GB fp32, but
     # N^2 grows with the 4th power of resolution (128x128 -> 1 GB/frame).
-    elem_bytes = {"int8": 1}.get(fused, 2 if compute_dtype == "bfloat16" else 4)
-    bytes_per_frame = (h * w) ** 2 * elem_bytes
-    mem_budget = int(os.environ.get("CRITIC_VAE_TPU_CRF_MEM", 6 * 1024**3))
-    frame_chunk = max(1, min(frame_chunk, mem_budget // bytes_per_frame))
+    # "vmem" keeps the matrix entirely in VMEM — no N² HBM residency, no cap.
+    if fused != "vmem":
+        elem_bytes = {"int8": 1}.get(
+            fused, 2 if compute_dtype == "bfloat16" else 4
+        )
+        bytes_per_frame = (h * w) ** 2 * elem_bytes
+        mem_budget = int(os.environ.get("CRITIC_VAE_TPU_CRF_MEM", 6 * 1024**3))
+        frame_chunk = max(1, min(frame_chunk, mem_budget // bytes_per_frame))
     if mesh is not None:
         from critic_vae_tpu.parallel.mesh import (
             batch_sharding,
@@ -562,6 +640,13 @@ def _run_chunked(chunk_fn, flat_imgs, flat_second, params,
         L = flat_second.shape[-1] if flat_second.ndim == 3 else 2
         shape = (0, h * w, L) if soft else (0, h * w)
         return np.empty(shape, np.float32 if soft else np.uint8)
+    statics = dict(h=h, w=w, iters=int(iters), compute_dtype=compute_dtype,
+                   soft=soft, fused=fused)
+    meshed = mesh is not None and mesh.devices.size > 1
+    if meshed and fused != "xla":
+        call = _meshed_dispatch(chunk_fn, mesh, **statics)
+    else:
+        call = functools.partial(chunk_fn, **statics)
     out = None  # allocated from the first fetched chunk's shape/dtype
     pending = []  # (start, valid, device segs)
 
@@ -587,12 +672,10 @@ def _run_chunked(chunk_fn, flat_imgs, flat_second, params,
         if valid < frame_chunk:
             chunk_imgs = _pad(chunk_imgs, frame_chunk - valid)
             chunk_2nd = _pad(chunk_2nd, frame_chunk - valid)
-        seg = chunk_fn(
+        seg = call(
             put(chunk_imgs), put(chunk_2nd), taps,
             jnp.float32(w1), jnp.float32(w2),
-            jnp.float32(alpha), jnp.float32(beta),
-            h=h, w=w, iters=int(iters), compute_dtype=compute_dtype,
-            soft=soft, fused=fused,
+            jnp.float32(alpha), jnp.float32(beta), jnp.float32(gamma),
         )
         pending.append((i, valid, seg))
         if len(pending) > 1:  # fetch the previous chunk while this one runs
@@ -724,8 +807,11 @@ def refine_masks_device(
     "auto"`` then stores the bilateral matrix in bf16 — halving the
     HBM traffic that is this op's roofline (measured ≥99.9% segmentation
     agreement with the f32/XLA formulation on the synthetic corpus; see
-    docs/DESIGN.md). On CPU or with ``build="xla"``, "auto" means f32 and
-    results are identical to round 2."""
+    docs/DESIGN.md). The fully-fused resident-matrix kernel is available
+    as the explicit opt-in ``build="vmem"`` (measured ≈ parity with
+    "pallas" — see docs/DESIGN.md "The resident mean-field kernel"). On
+    CPU or with ``build="xla"``, "auto" means f32 and results are
+    identical to round 2."""
     if not isinstance(frames_u8, jax.Array):
         frames_u8 = np.ascontiguousarray(frames_u8, dtype=np.uint8)
     n, h, w_, _ = frames_u8.shape
@@ -740,9 +826,10 @@ def refine_masks_device(
     if compute_dtype == "auto":
         mode = _resolve_build(build, h, w_, mesh)
         # "pallas" stores M in compute_dtype -> bf16 for the fast path;
-        # "int8" ignores storage dtype; "xla" keeps the round-2 f32 default
-        compute_dtype = "bfloat16" if mode == "pallas" else "float32"
-    
+        # "vmem"/"int8" fix their own storage dtype; "xla" keeps the
+        # round-2 f32 default
+        compute_dtype = "bfloat16" if mode in ("pallas", "vmem") else "float32"
+
     out = _run_chunked(
         _crf_chunk_from_masks, frames_u8.reshape(n, h * w_, 3), masks_u8,
         params, h, w_, frame_chunk, compute_dtype, mesh=mesh, build=build,
@@ -788,7 +875,9 @@ def refine_masks_multi_device(
     ).reshape(f, h * w_, t)
     if compute_dtype == "auto":
         mode = _resolve_build(build, h, w_, mesh)
-        compute_dtype = "bfloat16" if mode in ("pallas", "int8") else "float32"
+        compute_dtype = (
+            "bfloat16" if mode in ("pallas", "int8", "vmem") else "float32"
+        )
     out = _run_chunked(
         _crf_chunk_from_masks_multi, frames_u8.reshape(f, h * w_, 3),
         masks_fm, params, h, w_, frame_chunk, compute_dtype, mesh=mesh,

@@ -376,6 +376,97 @@ def test_multi_mask_refinement_matches_sequential(small_episode):
         assert (multi[t] == single).mean() >= 0.999, t
 
 
+def test_vmem_resident_matches_xla(small_episode):
+    """The fully-fused resident-matrix kernel (build='vmem',
+    crf/fused_resident.py): build + all mean-field iterations in one
+    pallas_call, spatial term folded into the resident matrix — must
+    reproduce the f32/XLA segmentation."""
+    frames, gt, noisy = small_episode
+    ref = refine_masks_device(frames, noisy, PARAMS, build="xla",
+                              compute_dtype="float32")
+    vm = refine_masks_device(frames, noisy, PARAMS, build="vmem")
+    assert (vm == ref).mean() >= 0.999
+
+
+def test_vmem_resident_soft_marginals(small_episode):
+    """soft=True through the resident kernel: paired sigmoid marginals are
+    valid distributions whose pairwise argmax equals the hard path."""
+    frames, _, noisy = small_episode
+    m = noisy[:2].astype(np.float32)
+    probs = np.stack([1 - m, m], -1)
+    q = densecrf_device(frames[:2], probs, PARAMS, build="vmem", soft=True)
+    hard = densecrf_device(frames[:2], probs, PARAMS, build="vmem")
+    assert q.shape == (2, 32, 32, 2) and q.dtype == np.float32
+    np.testing.assert_allclose(q.sum(-1), 1.0, atol=1e-5)
+    np.testing.assert_array_equal(
+        (q[..., 1] > q[..., 0]).astype(np.uint8), hard)
+    # zero iterations -> the (clamped, renormalized) input distribution
+    q0 = densecrf_device(frames[:2], probs, (22, 12, 3.1, 8, 1.8, 0),
+                         build="vmem", soft=True)
+    np.testing.assert_allclose(q0, np.clip(probs, 1e-8, None), atol=1e-6)
+
+
+def test_vmem_resident_multi_mask(small_episode):
+    """T mask sets ride the resident matrix as paired lanes; each slice
+    must match the single-mask refinement."""
+    from critic_vae_tpu.crf.device import refine_masks_multi_device
+
+    frames, gt, noisy = small_episode
+    rng = np.random.default_rng(7)
+    sets = np.stack([noisy, gt ^ (rng.random(gt.shape) < 0.15)])
+    multi = refine_masks_multi_device(frames, sets, PARAMS, build="vmem")
+    for t in range(len(sets)):
+        single = refine_masks_device(frames, sets[t], PARAMS,
+                                     build="xla", compute_dtype="float32")
+        assert (multi[t] == single).mean() >= 0.999, t
+
+
+def test_vmem_resident_rejects_oversized_frames():
+    """Frames whose matrix exceeds VMEM must fail loudly (use 'pallas')."""
+    frames = np.zeros((1, 128, 128, 3), np.uint8)
+    masks = np.zeros((1, 128, 128), bool)
+    with pytest.raises(ValueError, match="vmem"):
+        refine_masks_device(frames, masks, PARAMS, build="vmem")
+
+
+def test_vmem_resident_generic_l_falls_back(small_episode):
+    """densecrf_device with L=3 classes under build='vmem' silently takes
+    the streamed path (the paired reduction needs L=2) — and still matches
+    the XLA build."""
+    frames, _, noisy = small_episode
+    m = noisy[:2].astype(np.float32)
+    probs = np.stack([1 - m, m * 0.6, m * 0.4], -1)
+    vm = densecrf_device(frames[:2], probs, PARAMS, build="vmem")
+    ref = densecrf_device(frames[:2], probs, PARAMS, build="xla")
+    assert (vm == ref).mean() >= 0.999
+
+
+def test_pallas_build_shards_over_mesh(small_episode):
+    """Round-3 gap closed: the Pallas/int8 chunk bodies dispatch through
+    ``jax.shard_map`` over the frame axis under a multi-device mesh
+    (pallas_call has no auto-partitioning rule), instead of silently
+    requiring the XLA build. Results must equal the single-device builds."""
+    from critic_vae_tpu.parallel.mesh import make_mesh
+
+    frames, _, noisy = small_episode
+    mesh = make_mesh(8)
+    ref = refine_masks_device(frames, noisy, PARAMS, build="xla",
+                              compute_dtype="float32")
+    sharded_p = refine_masks_device(frames, noisy, PARAMS, build="pallas",
+                                    mesh=mesh)
+    single_p = refine_masks_device(frames, noisy, PARAMS, build="pallas")
+    np.testing.assert_array_equal(sharded_p, single_p)
+    assert (sharded_p == ref).mean() >= 0.999
+    sharded_i8 = refine_masks_device(frames, noisy, PARAMS, build="int8",
+                                     mesh=mesh)
+    single_i8 = refine_masks_device(frames, noisy, PARAMS, build="int8")
+    np.testing.assert_array_equal(sharded_i8, single_i8)
+    sharded_vm = refine_masks_device(frames, noisy, PARAMS, build="vmem",
+                                     mesh=mesh)
+    single_vm = refine_masks_device(frames, noisy, PARAMS, build="vmem")
+    np.testing.assert_array_equal(sharded_vm, single_vm)
+
+
 def test_multi_mask_refinement_shape_validation():
     from critic_vae_tpu.crf.device import refine_masks_multi_device
 
