@@ -860,8 +860,14 @@ def refine_masks_multi_device(
     Returns (T, F, H, W) bool refined masks; each slice equals
     ``refine_masks_device(frames, thr_masks_multi[t], params)`` (asserted
     by tests/test_crf_device.py).
+
+    ``frames_u8``/``thr_masks_multi`` may be device arrays — like the
+    single-mask path they are then used in place (the transpose runs on
+    device) with no host round-trip; coercing them through numpy here
+    made device-resident sweep callers transfer-bound through the tunnel.
     """
-    frames_u8 = np.ascontiguousarray(frames_u8, dtype=np.uint8)
+    if not isinstance(frames_u8, jax.Array):
+        frames_u8 = np.ascontiguousarray(frames_u8, dtype=np.uint8)
     f, h, w_, _ = frames_u8.shape
     t = len(thr_masks_multi)
     if thr_masks_multi.shape != (t, f, h, w_):
@@ -870,9 +876,16 @@ def refine_masks_multi_device(
             f"(T, {f}, {h}, {w_})"
         )
     # frame-major so the chunk driver slices/pads along frames
-    masks_fm = np.ascontiguousarray(
-        np.asarray(thr_masks_multi, np.uint8).transpose(1, 2, 3, 0)
-    ).reshape(f, h * w_, t)
+    if isinstance(thr_masks_multi, jax.Array):
+        masks_fm = (
+            thr_masks_multi.astype(jnp.uint8)
+            .transpose(1, 2, 3, 0)
+            .reshape(f, h * w_, t)
+        )
+    else:
+        masks_fm = np.ascontiguousarray(
+            np.asarray(thr_masks_multi, np.uint8).transpose(1, 2, 3, 0)
+        ).reshape(f, h * w_, t)
     if compute_dtype == "auto":
         mode = _resolve_build(build, h, w_, mesh)
         compute_dtype = (

@@ -326,6 +326,16 @@ def threshold_sweep(
     mean_max = np.asarray(jnp.mean(jnp.asarray(host["max_value"])))
 
     t_arr = np.asarray(list(thresholds), np.int32)
+    # The sweep's masks exist only to feed the CRF (the returned results are
+    # IoU stats). For the device-CRF backend keep them device-resident — the
+    # (T, N, H, W) uint8 stack is ~29 MB at episode scale, a ~2 s fetch plus
+    # a re-upload through this mount's tunnel that the on-device mean-field
+    # never needs. Multi-host still fetches: chunk concat outside jit needs
+    # fully-addressable arrays, and _fetch's allgather already handles it.
+    masks_on_device = (
+        run_crf and crf_backend == "device" and jax.process_count() == 1
+    )
+    need_host_masks = run_crf and not masks_on_device
     mask_parts = []
     tp = fn = fp = 0
     offset = 0
@@ -335,11 +345,21 @@ def threshold_sweep(
         # gt slice stays numpy: under multi-host jit a process-local committed
         # array cannot mix with global-mesh operands, but host numpy can
         ctp, cfn, cfp = _sweep_chunk_stats(masks_v, gt[offset : offset + valid])
-        st = _fetch({"m": masks_v, "tp": ctp, "fn": cfn, "fp": cfp})
-        mask_parts.append(st["m"])
+        want = {"tp": ctp, "fn": cfn, "fp": cfp}
+        if need_host_masks:
+            want["m"] = masks_v
+        st = _fetch(want)
+        if masks_on_device:
+            mask_parts.append(masks_v)
+        elif need_host_masks:
+            mask_parts.append(st["m"])
         tp, fn, fp = tp + st["tp"].astype(np.int64), fn + st["fn"].astype(np.int64), fp + st["fp"].astype(np.int64)
         offset += valid
-    masks = np.concatenate(mask_parts, axis=1)  # (T, N, H, W)
+    masks = None  # (T, N, H, W); host or device per the flags above
+    if masks_on_device:
+        masks = jnp.concatenate(mask_parts, axis=1)
+    elif need_host_masks:
+        masks = np.concatenate(mask_parts, axis=1)
     # exact ops.iou.iou semantics: python-int counts (no int32 overflow at
     # episode scale), f64 division, 0/0 -> 1
     union = tp + fn + fp

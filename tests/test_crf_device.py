@@ -7,6 +7,7 @@ device result to an independent dense NumPy mean-field (exactness), to the
 lattice backend (approximation agreement), and through the pipeline dispatch.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -374,6 +375,22 @@ def test_multi_mask_refinement_matches_sequential(small_episode):
         single = refine_masks_device(frames, sets[t], PARAMS,
                                      build="xla", compute_dtype="float32")
         assert (multi[t] == single).mean() >= 0.999, t
+
+
+def test_multi_mask_device_resident_inputs(small_episode):
+    """Device-array frames/masks must be used in place (no numpy coercion,
+    which made device-resident sweep callers transfer-bound through the
+    tunnel) and give the same refinement as host arrays."""
+    from critic_vae_tpu.crf.device import refine_masks_multi_device
+
+    frames, gt, noisy = small_episode
+    rng = np.random.default_rng(11)
+    sets = np.stack([noisy, gt ^ (rng.random(gt.shape) < 0.1)])
+    host = refine_masks_multi_device(frames, sets, PARAMS)
+    dev = refine_masks_multi_device(
+        jnp.asarray(frames), jnp.asarray(sets.astype(np.uint8)), PARAMS
+    )
+    np.testing.assert_array_equal(host, dev)
 
 
 def test_vmem_resident_matches_xla(small_episode):
