@@ -593,13 +593,17 @@ def _meshed_dispatch(chunk_fn, mesh, **statics):
 
 def _run_chunked(chunk_fn, flat_imgs, flat_second, params,
                  h, w, frame_chunk, compute_dtype, mesh=None,
-                 soft=False, build: str = "xla") -> np.ndarray:
+                 soft=False, build: str = "xla", fetch: bool = True):
     """Dispatch fixed-size padded chunks (one compile) and overlap the
     device work of chunk i+1 with the host fetch of chunk i.  With a
     ``mesh``, chunks are sharded over the data axis (frames are
     embarrassingly parallel — no collectives) and the chunk size is rounded
     up to a multiple of the mesh size.  ``soft`` collects (n, N, L) f32
-    marginals instead of (n, N) u8 argmax labels."""
+    marginals instead of (n, N) u8 argmax labels.  ``fetch=False`` keeps
+    the result ON DEVICE (trimmed chunk concat, single-process only) —
+    callers that only reduce the refinement (IoU scoring) then never pay
+    the bulk device→host fetch, which through this mount's tunnel costs
+    more than the mean-field itself (docs/DESIGN.md)."""
     w1, alpha, beta, w2, gamma, iters = params
     fused = _resolve_build(build, h, w, mesh)
     taps = _spatial_taps(float(gamma), h, w)
@@ -639,7 +643,8 @@ def _run_chunked(chunk_fn, flat_imgs, flat_second, params,
     if n == 0:
         L = flat_second.shape[-1] if flat_second.ndim == 3 else 2
         shape = (0, h * w, L) if soft else (0, h * w)
-        return np.empty(shape, np.float32 if soft else np.uint8)
+        empty = np.empty(shape, np.float32 if soft else np.uint8)
+        return empty if fetch else jnp.asarray(empty)
     statics = dict(h=h, w=w, iters=int(iters), compute_dtype=compute_dtype,
                    soft=soft, fused=fused)
     meshed = mesh is not None and mesh.devices.size > 1
@@ -665,6 +670,7 @@ def _run_chunked(chunk_fn, flat_imgs, flat_second, params,
         xp = jnp if isinstance(arr, jax.Array) else np
         return xp.concatenate([arr, xp.repeat(arr[-1:], pad, 0)])
 
+    device_segs = []  # fetch=False: trimmed device-resident segments
     for i in range(0, n, frame_chunk):
         chunk_imgs = flat_imgs[i : i + frame_chunk]
         chunk_2nd = flat_second[i : i + frame_chunk]
@@ -677,12 +683,34 @@ def _run_chunked(chunk_fn, flat_imgs, flat_second, params,
             jnp.float32(w1), jnp.float32(w2),
             jnp.float32(alpha), jnp.float32(beta), jnp.float32(gamma),
         )
+        if not fetch:
+            device_segs.append(seg[:valid])
+            continue
         pending.append((i, valid, seg))
         if len(pending) > 1:  # fetch the previous chunk while this one runs
             _store(*pending.pop(0))
+    if not fetch:
+        return (
+            device_segs[0]
+            if len(device_segs) == 1
+            else jnp.concatenate(device_segs)
+        )
     for item in pending:
         _store(*item)
     return out
+
+
+@jax.jit
+def _iou_counts(pred, gt):
+    """Whole-stack (tp, fn, fp) int32 counts on device — ops/iou.py
+    semantics (0/0 → 1, exact integer division) are applied by the caller
+    from the fetched scalars."""
+    p = pred.astype(bool)
+    g = gt.astype(bool)
+    tp = jnp.sum(p & g, dtype=jnp.int32)
+    fn = jnp.sum(~p & g, dtype=jnp.int32)
+    fp = jnp.sum(p & ~g, dtype=jnp.int32)
+    return tp, fn, fp
 
 
 def crf_param_search(
@@ -766,6 +794,16 @@ def crf_param_search(
             )
         frames_u8 = shard_batch(mesh, frames_u8)
         thr_masks = shard_batch(mesh, thr_masks)
+    # Score every combination ON DEVICE: the refinement never crosses the
+    # tunnel (fetch=False) and each combination fetches three int32 counts
+    # instead of the full (N, H, W) stack — through this mount's ~13 MB/s
+    # device→host path the per-combination fetch used to cost more than the
+    # mean-field itself. Single-process only (the multi-host chunk concat
+    # needs fully-addressable arrays); multi-host searches keep the host
+    # scoring path. int32 counts are exact below 2^31 mask pixels (~500k
+    # frames at 64×64 — far past any search corpus).
+    on_device = jax.process_count() == 1
+    gt_dev = jnp.asarray(gt) if on_device else None
     results = []
     best = None
     for c in combos:
@@ -773,14 +811,22 @@ def crf_param_search(
         refined = refine_masks_device(
             frames_u8, thr_masks, params,
             frame_chunk=frame_chunk, compute_dtype=compute_dtype, mesh=mesh,
-            build=build,
+            build=build, fetch=not on_device,
         )[:n_frames]
-        score = iou_metric(gt, refined, round_digits=None)
+        if on_device:
+            tp, fn, fp = jax.device_get(_iou_counts(refined, gt_dev))
+            union = int(tp) + int(fn) + int(fp)
+            score = 1.0 if union == 0 else int(tp) / union
+        else:
+            score = iou_metric(gt, refined, round_digits=None)
         results.append((score, params))
         if best is None or score > best[0]:
             best = (score, refined)
     results.sort(key=lambda r: r[0], reverse=True)
-    return best[1], results
+    best_masks = best[1]
+    if isinstance(best_masks, jax.Array):
+        best_masks = np.asarray(jax.device_get(best_masks)).astype(bool)
+    return best_masks, results
 
 
 def refine_masks_device(
@@ -792,7 +838,8 @@ def refine_masks_device(
     compute_dtype: str = "auto",
     mesh=None,
     build: str = "auto",
-) -> np.ndarray:
+    fetch: bool = True,
+):
     """Device-CRF counterpart of :func:`critic_vae_tpu.crf.refine_masks`
     (the reference ``crf()`` wrapper's probability construction,
     vae_utility.py:36-38): classes are the stacked (1-mask, mask) planes,
@@ -811,7 +858,12 @@ def refine_masks_device(
     as the explicit opt-in ``build="vmem"`` (measured ≈ parity with
     "pallas" — see docs/DESIGN.md "The resident mean-field kernel"). On
     CPU or with ``build="xla"``, "auto" means f32 and results are
-    identical to round 2."""
+    identical to round 2.
+
+    ``fetch=False`` returns the (N, H, W) bool refinement as a DEVICE
+    array (single-process only) — callers that only reduce it (e.g.
+    ``crf_param_search`` scoring one IoU per grid combination) skip the
+    bulk device→host fetch entirely."""
     if not isinstance(frames_u8, jax.Array):
         frames_u8 = np.ascontiguousarray(frames_u8, dtype=np.uint8)
     n, h, w_, _ = frames_u8.shape
@@ -833,6 +885,7 @@ def refine_masks_device(
     out = _run_chunked(
         _crf_chunk_from_masks, frames_u8.reshape(n, h * w_, 3), masks_u8,
         params, h, w_, frame_chunk, compute_dtype, mesh=mesh, build=build,
+        fetch=fetch,
     )
     return out.reshape(n, h, w_).astype(bool)
 
@@ -846,7 +899,8 @@ def refine_masks_multi_device(
     compute_dtype: str = "auto",
     mesh=None,
     build: str = "auto",
-) -> np.ndarray:
+    fetch: bool = True,
+):
     """Refine T mask sets of the SAME frames in one pass — the reference's
     threshold-sweep workload (vae.py:121-123 re-runs its entire pipeline
     per threshold; here even the CRF's bilateral build and its per-iteration
@@ -865,6 +919,9 @@ def refine_masks_multi_device(
     single-mask path they are then used in place (the transpose runs on
     device) with no host round-trip; coercing them through numpy here
     made device-resident sweep callers transfer-bound through the tunnel.
+    ``fetch=False`` likewise keeps the (T, F, H, W) bool result on device
+    (single-process only) — the sweep scores it with one reduction, so the
+    refined stack (~27 MB at episode scale) never crosses the tunnel.
     """
     if not isinstance(frames_u8, jax.Array):
         frames_u8 = np.ascontiguousarray(frames_u8, dtype=np.uint8)
@@ -894,6 +951,6 @@ def refine_masks_multi_device(
     out = _run_chunked(
         _crf_chunk_from_masks_multi, frames_u8.reshape(f, h * w_, 3),
         masks_fm, params, h, w_, frame_chunk, compute_dtype, mesh=mesh,
-        build=build,
+        build=build, fetch=fetch,
     )  # (F, T, N)
     return out.transpose(1, 0, 2).reshape(t, f, h, w_).astype(bool)

@@ -375,20 +375,37 @@ def threshold_sweep(
         # sequential per-threshold refinements
         from critic_vae_tpu.crf.device import refine_masks_multi_device
 
+        # fetch=False when single-process: the refined stack exists only to
+        # be scored, so it stays on device and the per-threshold IoUs come
+        # back as (T,) int32 counts — the ~27 MB mask fetch through the
+        # tunnel cost more than the mean-field itself (docs/DESIGN.md)
         crf_refined = refine_masks_multi_device(
-            frames_u8, masks, crf_params, mesh=mesh
+            frames_u8, masks, crf_params, mesh=mesh,
+            fetch=not masks_on_device,
         )
+
+    crf_ious = None
+    if crf_refined is not None and isinstance(crf_refined, jax.Array):
+        ctp, cfn, cfp = _fetch(_sweep_chunk_stats(crf_refined, gt))
+        crf_ious = []
+        for ti in range(len(thresholds)):
+            union = int(ctp[ti]) + int(cfn[ti]) + int(cfp[ti])
+            crf_ious.append(
+                1.0 if union == 0 else round(int(ctp[ti]) / union, 3)
+            )
 
     results = []
     for ti, t in enumerate(thresholds):
         crf_iou_val = None
         if run_crf:
-            if crf_refined is not None:
-                crf_masks = crf_refined[ti]
+            if crf_ious is not None:
+                crf_iou_val = crf_ious[ti]
+            elif crf_refined is not None:
+                crf_iou_val = iou(gt, crf_refined[ti])
             else:
                 crf_masks = _refine(frames_u8, masks[ti], crf_params,
                                     crf_backend, num_threads, mesh=mesh)
-            crf_iou_val = iou(gt, crf_masks)
+                crf_iou_val = iou(gt, crf_masks)
         results.append(
             {
                 "threshold": int(t),

@@ -393,6 +393,27 @@ def test_multi_mask_device_resident_inputs(small_episode):
     np.testing.assert_array_equal(host, dev)
 
 
+def test_fetch_false_returns_device_result(small_episode):
+    """fetch=False keeps the refinement on device (bulk result never
+    crosses the host boundary) and matches the fetched path exactly —
+    single- and multi-mask."""
+    import jax
+
+    from critic_vae_tpu.crf.device import refine_masks_multi_device
+
+    frames, gt, noisy = small_episode
+    host = refine_masks_device(frames, noisy, PARAMS)
+    dev = refine_masks_device(frames, noisy, PARAMS, fetch=False)
+    assert isinstance(dev, jax.Array)
+    np.testing.assert_array_equal(host, np.asarray(dev))
+
+    sets = np.stack([noisy, gt]).astype(np.uint8)
+    host_m = refine_masks_multi_device(frames, sets, PARAMS)
+    dev_m = refine_masks_multi_device(frames, sets, PARAMS, fetch=False)
+    assert isinstance(dev_m, jax.Array)
+    np.testing.assert_array_equal(host_m, np.asarray(dev_m))
+
+
 def test_vmem_resident_matches_xla(small_episode):
     """The fully-fused resident-matrix kernel (build='vmem',
     crf/fused_resident.py): build + all mean-field iterations in one
