@@ -125,8 +125,10 @@ def critic_saliency(
         32/16/8/4). Measured: block 1 is the sweet spot — block 0
         is too local (the per-location dot with later-layer structure
         collapses, 0.078), blocks 2–3 too coarse (0.366/0.231); fusing
-        blocks only dilutes (product/min/sum all ≤ 0.455,
-        docs/artifacts/saliency.json).
+        blocks only dilutes (product/min/sum all ≤ 0.455), and so does
+        Guided-Grad-CAM-style masking by the pixel gradient (≤ 0.37 at
+        every exponent/smoothing, 3 seeds — the gradient's speckle punches
+        holes in the CAM support; docs/artifacts/saliency.json).
       cam_upsample: the 16×16 → 64×64 interpolation kernel. Default
         ``"lanczos3"``: sharper kernels keep boundary detail the 4×
         upsample would smear — measured 0.524/0.522/0.526 across three

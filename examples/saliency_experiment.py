@@ -173,6 +173,22 @@ def _probe_cam(critic, frames, gt):
     }
     res["fusion"] = {k: best_of_maps(v, gt) for k, v in fusions.items()}
     print("  cam probe fusion:", res["fusion"], flush=True)
+    # Guided-Grad-CAM-style fusion: mask the (coarse-but-accurate) CAM with
+    # the (sharp-but-speckled) pixel gradient. Every exponent/smoothing
+    # combo DILUTES (0.52 -> <=0.37, 3-seed-consistent): the logit
+    # gradient's speckle punches holes in the CAM's support faster than its
+    # resolution sharpens the boundary — same failure mode as the block
+    # fusions above. Negative result recorded in docs/DESIGN.md.
+    guided = {}
+    for gsig in (0.0, 1.0, 1.5):
+        G = n01(maps(frames, logits=True, smooth_sigma=gsig))
+        for p in (0.25, 0.5, 1.0):
+            guided[f"cam*grad^{p}_s{gsig}"] = best_of_maps(
+                n01(M[1]) * G ** p, gt)
+        guided[f"min_cam_grad_s{gsig}"] = best_of_maps(
+            np.minimum(n01(M[1]), G), gt)
+    res["guided_fusion"] = guided
+    print("  cam probe guided_fusion:", guided, flush=True)
     res["sigma"] = {str(s): best_iou(frames, gt, method="layercam",
                                      cam_block=1, smooth_sigma=s)
                     for s in (0.0, 1.0, 1.5)}
