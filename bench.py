@@ -29,6 +29,12 @@ def main() -> None:
 
     batch = int(os.environ.get("BENCH_BATCH", 1024))
     iters = int(os.environ.get("BENCH_ITERS", 40))
+    # ≥5 timed repetitions; the headline value is the MEDIAN (round 4,
+    # VERDICT #2: single-run numbers drifted 146.3k → 143.0k f/s across
+    # rounds 1-3 — tunnel/backend variance, not a regression; the median
+    # over reps plus the reported spread makes that visible in the artifact
+    # itself instead of leaving it to archaeology).
+    reps = max(2, int(os.environ.get("BENCH_REPS", 5)))
     # BENCH_DEVICES > 1: shard the frame batch over an N-device data-parallel
     # mesh and report AGGREGATE frames/s (the metric stays per-chip-honest on
     # the driver's single real chip, where this defaults to 1).
@@ -94,14 +100,17 @@ def main() -> None:
     # block_until_ready alone proved unreliable on tunneled PJRT backends)
     np.asarray(pipeline(frames)[0])
 
-    t0 = time.perf_counter()
-    res = None
-    for _ in range(iters):
-        res = pipeline(frames)
-    np.asarray(res[0])  # barrier: 8 KB fetch, ~0.1 ms
-    dt = time.perf_counter() - t0
+    fps_reps = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        res = None
+        for _ in range(iters):
+            res = pipeline(frames)
+        np.asarray(res[0])  # barrier: 8 KB fetch, ~0.1 ms
+        dt = time.perf_counter() - t0
+        fps_reps.append(batch * iters / dt)
 
-    fps = batch * iters / dt
+    fps = float(np.median(fps_reps))
     baseline = 50_000.0
     print(
         json.dumps(
@@ -112,6 +121,12 @@ def main() -> None:
                 "value": round(fps, 1),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / baseline, 3),
+                "reps": reps,
+                "min": round(min(fps_reps), 1),
+                "max": round(max(fps_reps), 1),
+                "spread_pct": round(
+                    100.0 * (max(fps_reps) - min(fps_reps)) / fps, 2
+                ),
             }
         )
     )

@@ -40,19 +40,21 @@ def _recon_both(vae_params, bn_state, x, v):
 
 def make_recon_fn(vae_params, bn_state, batch_size: int = 512):
     """Batched (recon@pred, recon@0) producer for the sampler's recon mode.
-    Ragged tails are padded so every trajectory reuses one compiled shape."""
+    Ragged chunks are padded to one of two bucket shapes
+    (data/sampler.py::pad_to_bucket) so a stream of arbitrary trajectory
+    lengths compiles ≤2 program shapes — the round-3 version padded only
+    when n > batch_size, recompiling per short-trajectory length
+    (VERDICT r3 #4)."""
+    from critic_vae_tpu.data.sampler import pad_to_bucket
 
     def recon_fn(frames: np.ndarray, preds: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         n = len(frames)
         outs_pred, outs_zero = [], []
         for i in range(0, n, batch_size):
-            x = frames[i : i + batch_size]
+            x, valid = pad_to_bucket(frames[i : i + batch_size], batch_size)
             v = np.asarray(preds[i : i + batch_size], np.float32)
-            valid = len(x)
-            if valid < batch_size and n > batch_size:
-                pad = batch_size - valid
-                x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
-                v = np.concatenate([v, np.repeat(v[-1:], pad)])
+            if len(v) < len(x):
+                v = np.concatenate([v, np.repeat(v[-1:], len(x) - len(v))])
             rp, rz = _recon_both(
                 vae_params, bn_state, jnp.asarray(x), jnp.asarray(v)
             )

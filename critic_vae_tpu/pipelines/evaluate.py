@@ -157,14 +157,40 @@ def save_eval_strips(results: dict, images: np.ndarray, out_dir: str) -> List[st
 def inject_images(
     vae_params, bn_state, critic_params, images: np.ndarray,
     values: Optional[np.ndarray] = None,
+    batch_size: int = 256,
 ) -> dict:
-    """Batched injection ladder (reference: vae.py:90-92 + vae_nets.py:31-40)."""
-    preds, recons = _inject_batch(
-        vae_params, bn_state, critic_params, jnp.asarray(images),
-        None if values is None else jnp.asarray(values),
-    )
-    host = jax.device_get({"preds": preds, "recons": recons})
-    return {k: np.asarray(v) for k, v in host.items()}
+    """Batched injection ladder (reference: vae.py:90-92 + vae_nets.py:31-40).
+
+    Chunked at ``batch_size`` with tail padding, like
+    :func:`evaluate_images`: each chunk dispatches B×K decodes, so an
+    unchunked directory-sized call meant unbounded device memory and one
+    fresh compile per directory size (VERDICT r3 #5 — the round-2 fix to
+    evaluate_images had not been propagated here). Injection has no
+    cross-image statistic, so chunks are trivially independent."""
+    n = len(images)
+    if n == 0:
+        k = 6 if values is None else len(values)
+        shp = (0, k) + tuple(images.shape[1:])
+        return {"preds": np.zeros((0,), np.float32),
+                "recons": np.zeros(shp, np.float32)}
+    batch_size = min(batch_size, n)
+    vals = None if values is None else jnp.asarray(values)
+    preds_out, recons_out = [], []
+    for i in range(0, n, batch_size):
+        chunk = images[i : i + batch_size]
+        valid = len(chunk)
+        if valid < batch_size:
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], batch_size - valid, axis=0)]
+            )
+        preds, recons = _inject_batch(
+            vae_params, bn_state, critic_params, jnp.asarray(chunk), vals
+        )
+        host = jax.device_get({"preds": preds, "recons": recons})
+        preds_out.append(np.asarray(host["preds"])[:valid])
+        recons_out.append(np.asarray(host["recons"])[:valid])
+    return {"preds": np.concatenate(preds_out),
+            "recons": np.concatenate(recons_out)}
 
 
 def save_inject_strips(results: dict, images: np.ndarray, out_dir: str) -> List[str]:

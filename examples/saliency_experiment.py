@@ -179,16 +179,44 @@ def _probe_cam(critic, frames, gt):
     # gradient's speckle punches holes in the CAM's support faster than its
     # resolution sharpens the boundary — same failure mode as the block
     # fusions above. Negative result recorded in docs/DESIGN.md.
-    guided = {}
-    for gsig in (0.0, 1.0, 1.5):
-        G = n01(maps(frames, logits=True, smooth_sigma=gsig))
-        for p in (0.25, 0.5, 1.0):
-            guided[f"cam*grad^{p}_s{gsig}"] = best_of_maps(
-                n01(M[1]) * G ** p, gt)
-        guided[f"min_cam_grad_s{gsig}"] = best_of_maps(
-            np.minimum(n01(M[1]), G), gt)
-    res["guided_fusion"] = guided
-    print("  cam probe guided_fusion:", guided, flush=True)
+    def guided_grid(fr, gt_b, cam_b1):
+        grid = {}
+        for gsig in (0.0, 1.0, 1.5):
+            G = n01(maps(fr, logits=True, smooth_sigma=gsig))
+            for p in (0.25, 0.5, 1.0):
+                grid[f"cam*grad^{p}_s{gsig}"] = best_of_maps(
+                    n01(cam_b1) * G ** p, gt_b)
+            grid[f"min_cam_grad_s{gsig}"] = best_of_maps(
+                np.minimum(n01(cam_b1), G), gt_b)
+        return grid
+
+    # 3-seed structure matching the committed artifact (ADVICE r3: a
+    # single-seed rerun must not silently overwrite the cited 3-seed
+    # evidence): full grid on the default seed-9999 episode, then the
+    # grid's best combo re-evaluated on the seed-4242/777 episodes.
+    guided = guided_grid(frames, gt, M[1])
+    best_key = max(guided, key=guided.get)
+    gsig_best = float(best_key.rsplit("_s", 1)[1])
+    res["guided_fusion"] = {
+        "note": "Guided-Grad-CAM-style probe (CPU-exact, 3 seeds): "
+                "n01(CAM_b1) x n01(|logit input-grad|)^p, grad smoothed "
+                "sigma in {0,1.0,1.5}; every combo dilutes vs cam_alone "
+                "0.524/0.522/0.526 — the gradient's speckle punches holes "
+                "in the CAM support. Reproduce: _probe_cam guided_fusion "
+                "grid.",
+        "seed9999": guided,
+    }
+    for seed in (4242, 777):
+        f2, g2 = generate_frames(550, seed=seed)
+        cam2 = maps(f2, method="layercam", cam_block=1, smooth_sigma=0)
+        G2 = n01(maps(f2, logits=True, smooth_sigma=gsig_best))
+        if best_key.startswith("min_cam_grad"):
+            fused2 = np.minimum(n01(cam2), G2)
+        else:
+            p_best = float(best_key.split("^")[1].split("_")[0])
+            fused2 = n01(cam2) * G2 ** p_best
+        res["guided_fusion"][f"seed{seed}_best"] = best_of_maps(fused2, g2)
+    print("  cam probe guided_fusion:", res["guided_fusion"], flush=True)
     res["sigma"] = {str(s): best_iou(frames, gt, method="layercam",
                                      cam_block=1, smooth_sigma=s)
                     for s in (0.0, 1.0, 1.5)}

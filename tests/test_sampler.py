@@ -77,6 +77,51 @@ def test_sampler_total_stop(monkeypatch):
     assert 200 <= len(out) <= 500
 
 
+def test_ragged_streams_compile_bounded_shapes(critic_params):
+    """20 random-length trajectories must land on ≤3 compiled program shapes
+    (pad_to_bucket's two buckets) — real MineRL streams are ragged and fresh
+    compiles cost 30 s–10 min on the tunneled backend (VERDICT r3 #4;
+    reference semantics: vae_utility.py:393-462)."""
+    import jax
+
+    import critic_vae_tpu.data.sampler as samp
+    import critic_vae_tpu.pipelines.dataset as ds
+    from critic_vae_tpu.models import vae as vae_mod
+
+    vae_params, bn_state = vae_mod.init_vae_params(jax.random.key(0))
+    recon_fn = ds.make_recon_fn(vae_params, bn_state, batch_size=32)
+
+    samp._score_chunk._clear_cache()
+    ds._recon_both._clear_cache()
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        n = int(rng.integers(1, 70))
+        frames = rng.random((n, 64, 64, 3), np.float32)
+        preds = samp.score_frames(critic_params, frames, batch_size=32)
+        assert preds.shape == (n,)
+        rp, rz = recon_fn(frames, preds)
+        assert rp.shape == (n, 64, 64, 3) and rz.shape == (n, 64, 64, 3)
+    assert samp._score_chunk._cache_size() <= 3
+    assert ds._recon_both._cache_size() <= 3
+
+
+def test_pad_to_bucket_values_unchanged():
+    """Padding must not change the scores of the valid prefix."""
+    from critic_vae_tpu.data.sampler import pad_to_bucket
+
+    rng = np.random.default_rng(3)
+    frames = rng.random((11, 64, 64, 3), np.float32)
+    padded, valid = pad_to_bucket(frames, 32)
+    assert valid == 11 and padded.shape[0] == 32  # 11 > 32//4 → full bucket
+    np.testing.assert_array_equal(padded[:valid], frames)
+    small, sv = pad_to_bucket(frames[:5], 32)
+    assert sv == 5 and small.shape[0] == 8  # 5 ≤ 32//4 → quarter bucket
+    # over-batch input passes through untouched
+    big = rng.random((40, 64, 64, 3), np.float32)
+    out, v = pad_to_bucket(big, 32)
+    assert v == 40 and out is big
+
+
 def test_recon_mode_bin_routing(monkeypatch):
     """mid-bin frames contribute BOTH recons, high only recon@pred, low only
     recon@0 (vae_utility.py:431-443)."""
