@@ -20,6 +20,13 @@ import numpy as np
 
 def main() -> None:
     import jax
+
+    # BENCH_PLATFORM=cpu forces the virtual-device CPU backend for harness
+    # tests (the container's axon sitecustomize wins over the JAX_PLATFORMS
+    # env var — CLAUDE.md; tests/test_bench_harness.py uses this with
+    # BENCH_DEVICES=8 to validate the multi-device path)
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     import jax.numpy as jnp
 
     from critic_vae_tpu.data.synthetic import generate_frames

@@ -93,6 +93,21 @@ def build_parser() -> argparse.ArgumentParser:
         "(reference-faithful objective)",
     )
     t.add_argument(
+        "--mask-distill", type=float, default=0.0, metavar="W",
+        help="opt-in self-distillation of the faithful mask path (round 4): "
+        "pseudo-label masks are built for the training set from the frozen "
+        "critic alone (LayerCAM + CAM-tuned CRF, pipelines/distill.py — no "
+        "ground truth) and a soft-Dice term pushes the recon-diff signal "
+        "into their support. 0 = off (reference-faithful objective)",
+    )
+    t.add_argument(
+        "--no-shard-dataset", action="store_true",
+        help="replicate the HBM-resident dataset on every device instead of "
+        "sharding it along the mesh's data axis (sharding is automatic "
+        "when dataset and batch divide by the mesh size — dataset "
+        "capacity then scales with chips, train/step.py)",
+    )
+    t.add_argument(
         "--film", action="store_true",
         help="opt-in multi-stage value conditioning: a zero-initialized "
         "FiLM (gamma, beta) per decoder stage driven by the critic value, "
@@ -138,10 +153,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     v.add_argument("--no-crf", action="store_true")
     v.add_argument(
-        "--crf-backend", default="host", choices=["host", "device"],
+        "--crf-backend", default="auto", choices=["auto", "host", "device"],
         help="CRF refinement backend: 'host' = C++ permutohedral lattice, "
         "'device' = exact dense-CRF mean-field on the accelerator "
-        "(MXU matmuls; no host bottleneck)",
+        "(MXU matmuls; no host bottleneck). Default 'auto' picks 'device' "
+        "on a single-process accelerator run at <=128x128 (where it "
+        "measured ~6x the lattice, and the sweep's lane-packed refinement "
+        "~9x a sequential sweep) and 'host' otherwise "
+        "(crf/policy.py)",
     )
     v.add_argument(
         "--crf-params", default=None, metavar="W1,ALPHA,BETA,W2,GAMMA,ITERS",
@@ -349,6 +368,14 @@ def cmd_train(args) -> int:
     dset = _collect_training_set(args, cfg, critic_params)
     from critic_vae_tpu.pipelines.train import save_final_weights, train
 
+    pseudo_masks = None
+    if args.mask_distill > 0.0:
+        from critic_vae_tpu.pipelines.distill import build_pseudo_masks
+
+        if _primary():
+            print("building pseudo-label masks (LayerCAM + CAM-tuned CRF)...")
+        pseudo_masks = build_pseudo_masks(critic_params, dset)
+
     # multi-host: a fixed log dir must be identical across processes so the
     # primary's writes land where the launcher expects; the time-suffixed
     # default only matters single-process (each process derives its own, but
@@ -365,6 +392,9 @@ def cmd_train(args) -> int:
         compute_dtype=args.dtype,
         seed=args.seed,
         value_consistency=args.value_consistency,
+        mask_distill=args.mask_distill,
+        pseudo_masks=pseudo_masks,
+        shard_dataset=False if args.no_shard_dataset else "auto",
         film=args.film,
         log_dir=log_dir,
         checkpoint_dir=str(cfg.paths.resolve("checkpoints")),
@@ -495,6 +525,25 @@ def cmd_video(args) -> int:
         mesh = make_mesh(args.num_devices)
         if pri:
             print(f"sharding the device stage over {mesh.devices.size} device(s)")
+
+    # resolve 'auto' (and validate an explicit 'device') against the actual
+    # episode resolution + backend — crf/policy.py (VERDICT r3 #7/#8)
+    if not args.no_crf or args.crf_search is not None:
+        from critic_vae_tpu.crf.policy import resolve_crf_backend
+
+        try:
+            resolved_backend = resolve_crf_backend(
+                args.crf_backend, frames.shape[1], frames.shape[2],
+                sweep=args.sweep,
+            )
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        if pri and args.crf_backend == "auto":
+            print(f"crf backend: {resolved_backend} (auto)")
+        args.crf_backend = resolved_backend
+    elif args.crf_backend == "auto":
+        args.crf_backend = "host"  # inert: --no-crf runs no refinement
 
     if args.sweep:
         if pri:

@@ -54,6 +54,8 @@ def critic_apply(
     rng: jax.Array | None = None,
     return_logits: bool = False,
     tap_offset: Tuple[int, jnp.ndarray] | None = None,
+    fused_pool: bool | str = False,
+    block0_f32: bool = False,
 ) -> jnp.ndarray | Tuple:  # (pred[, embeds][, tap]) as enabled below
     """Tree-trunk probability for a batch of frames.
 
@@ -75,6 +77,19 @@ def critic_apply(
         forward, without duplicating the architecture outside this
         function. Inert when None. Composes with ``collect`` (the tap is
         appended after the embed list).
+      fused_pool: serving-path conv+pool formulation (ops/poolconv.py) —
+        exact up to GEMM-order reassociation (ReLU is monotone, so
+        relu∘max = max∘relu over the same candidate set); post-pool
+        activations (collect/tap) are unchanged. ``True`` = phase-packed
+        stride-2 convs for all blocks (measured NEGATIVE on v5e, kept as a
+        validated opt-in); ``"s2d"`` = space-to-depth 3×3 phase conv for
+        the FIRST block only — the 3-channel 64×64 input conv is ~ALL of
+        the critic's serving cost (round-4 per-block profile: prefix1
+        1.52 ms vs whole critic 1.47 ms) because 3 input channels leave
+        the MXU lanes empty.
+      block0_f32: run the first conv block in float32 even for bf16 x —
+        measured FASTER on v5e (XLA's bf16 conv path handles 3-channel
+        inputs badly; round-4 calibration probe) and strictly more precise.
 
     Returns:
       (B, 1) probabilities in (0, 1) (or logits); with ``collect``, also a
@@ -100,9 +115,34 @@ def critic_apply(
     embeds: List[jnp.ndarray] = []
     tap = None
     for i in range(4):
-        x = _conv_same(x, params[f"conv{i}_w"].astype(dtype), params[f"conv{i}_b"].astype(dtype))
-        x = jax.nn.relu(x)
-        x = _maxpool2(x)
+        if fused_pool == "s2d" and i == 0:
+            from critic_vae_tpu.ops.poolconv import s2d_conv_pool2_phases
+
+            y = s2d_conv_pool2_phases(x, params["conv0_w"].astype(dtype))
+            x = jax.nn.relu(
+                jnp.max(y, axis=3) + params["conv0_b"].astype(dtype)
+            )
+        elif fused_pool is True:
+            from critic_vae_tpu.ops.poolconv import conv_pool2_max
+
+            x = jax.nn.relu(conv_pool2_max(
+                x, params[f"conv{i}_w"].astype(dtype),
+                params[f"conv{i}_b"].astype(dtype),
+            ))
+        else:
+            if block0_f32 and i == 0:
+                # f32 conv only — the output casts back inside the conv
+                # epilogue, keeping the pool/ReLU traffic in the compute
+                # dtype (see models/vae.py block0_f32 note)
+                x = _conv_same(
+                    x.astype(jnp.float32),
+                    params["conv0_w"].astype(jnp.float32),
+                    params["conv0_b"].astype(jnp.float32),
+                ).astype(dtype)
+            else:
+                x = _conv_same(x, params[f"conv{i}_w"].astype(dtype), params[f"conv{i}_b"].astype(dtype))
+            x = jax.nn.relu(x)
+            x = _maxpool2(x)
         if tap_offset is not None and tap_offset[0] == i:
             x = x + tap_offset[1]
             tap = x

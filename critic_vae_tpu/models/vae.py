@@ -144,6 +144,16 @@ def _maxpool2(x):
     )
 
 
+def _maxpool2_strided(x):
+    """maxpool2 as three elementwise maxima over strided slices — exactly the
+    same candidate set as reduce_window; XLA fuses the slices+max chain
+    differently (serving A/B, docs/DESIGN.md round 4)."""
+    return jnp.maximum(
+        jnp.maximum(x[:, ::2, ::2], x[:, ::2, 1::2]),
+        jnp.maximum(x[:, 1::2, ::2], x[:, 1::2, 1::2]),
+    )
+
+
 def _batchnorm(x, p, s, train: bool):
     """Functional BatchNorm2d; stats in float32. Returns (y, new_running)."""
     if train:
@@ -164,16 +174,97 @@ def _batchnorm(x, p, s, train: bool):
     return y.astype(x.dtype), new_running
 
 
+# Per-block fused conv+pool serving config (ops/poolconv.py);
+# `encode(fused_pool=True)` resolves to this. Per-block values:
+#   False — the plain conv→BN→pool graph;
+#   True  — phase-packed stride-2 conv (conv_pool2_phases). MEASURED
+#           NEGATIVE everywhere on the v5e chip (round 4, docs/DESIGN.md:
+#           encoder 3.87 → 3.99–4.76 ms): XLA already tiles mid-stack convs
+#           well, so the (K+1)²/K² zero-tap overhead never pays. Kept as a
+#           validated opt-in.
+#   "s2d" — space-to-depth + 3×3 phase conv (s2d_conv_pool2_phases): the
+#           MXU-shaped formulation for the 3-CHANNEL INPUT block, which the
+#           round-4 per-block profile caught running at ~5% MFU (1.70 of
+#           the encoder's 3.87 ms).
+FUSED_POOL_SERVING: Tuple = ("s2d", False, False, False)
+
+
 def encode(
-    params: Params, state: State, x: jnp.ndarray, *, train: bool = False
+    params: Params, state: State, x: jnp.ndarray, *, train: bool = False,
+    fused_pool: bool | Tuple[bool, bool, bool, bool] = False,
+    fold_bn: bool = False, pool_impl: str = "reduce_window",
+    block0_f32: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, State]:
-    """x (B,64,64,3) → (mu, logvar) each (B,32), plus updated BN state."""
+    """x (B,64,64,3) → (mu, logvar) each (B,32), plus updated BN state.
+
+    Serving-path options (eval-mode only, exact up to float reassociation):
+
+    ``fused_pool``: run selected conv+BN+maxpool blocks through the
+    phase-packed stride-2 formulation (ops/poolconv.py) — same candidate
+    set, BN applied per-phase pre-max. ``True`` = FUSED_POOL_SERVING; a
+    4-tuple selects per block. Measured NEGATIVE on v5e (see
+    FUSED_POOL_SERVING note); kept as a validated opt-in.
+
+    ``fold_bn``: fold the eval-mode BatchNorm affine into the conv weights
+    (w' = w·k, b' = (b − mean)·k + β with k = γ·rsqrt(var+ε)) — the BN
+    pass over the full-resolution conv output disappears entirely.
+    Algebraically identical; bf16 weight rounding applies to w·k instead
+    of w.
+
+    ``pool_impl``: "reduce_window" (default) or "strided" (three
+    elementwise maxima over strided slices — same candidate set).
+
+    ``block0_f32``: run the FIRST conv (just the conv — its output casts
+    straight back to the compute dtype inside the conv epilogue, so the
+    BN/pool traffic stays bf16) in float32 even when x is bf16. Measured
+    FASTER on the v5e chip — XLA's bf16 conv path handles the 3-channel
+    64×64 input badly (1.59 ms bf16 vs 1.13 ms f32 for the conv alone,
+    round-4 calibration probe; the first cut that upcast the WHOLE block
+    measured 4.65 ms — f32 pool bytes ate the conv win) — and strictly
+    more precise.
+    """
+    if fused_pool is True:
+        fused_pool = FUSED_POOL_SERVING
+    elif fused_pool is False:
+        fused_pool = (False, False, False, False)
+    if train and (any(fused_pool) or fold_bn):
+        raise ValueError("encode: fused_pool/fold_bn are eval-mode serving paths")
+    if pool_impl not in ("reduce_window", "strided"):
+        raise ValueError(f"unknown pool_impl {pool_impl!r}")
+    pool = _maxpool2 if pool_impl == "reduce_window" else _maxpool2_strided
     enc = params["encoder"]
     new_state: State = {}
+    out_dtype = x.dtype
     for i in range(4):
-        x = _conv5_same(x, enc[f"conv{i}"]["w"], enc[f"conv{i}"]["b"])
-        x, new_state[f"bn{i}"] = _batchnorm(x, enc[f"bn{i}"], state[f"bn{i}"], train)
-        x = _maxpool2(x)
+        if fused_pool[i]:
+            from critic_vae_tpu.ops.poolconv import (
+                conv_pool2_phases,
+                s2d_conv_pool2_phases,
+            )
+
+            phase_conv = (
+                s2d_conv_pool2_phases if fused_pool[i] == "s2d"
+                else conv_pool2_phases
+            )
+            y = phase_conv(x, enc[f"conv{i}"]["w"].astype(x.dtype))
+            y = y + enc[f"conv{i}"]["b"].astype(x.dtype)
+            y, new_state[f"bn{i}"] = _batchnorm(
+                y, enc[f"bn{i}"], state[f"bn{i}"], False
+            )
+            x = jnp.max(y, axis=3)
+        elif fold_bn:
+            k = jax.lax.rsqrt(state[f"bn{i}"]["var"] + _BN_EPS) * enc[f"bn{i}"]["scale"]
+            w = enc[f"conv{i}"]["w"] * k  # (5,5,Cin,Cout)·(Cout,) in f32
+            b = (enc[f"conv{i}"]["b"] - state[f"bn{i}"]["mean"]) * k + enc[f"bn{i}"]["bias"]
+            x = pool(_conv5_same(x, w, b))
+            new_state[f"bn{i}"] = state[f"bn{i}"]
+        else:
+            xin = x.astype(jnp.float32) if (block0_f32 and i == 0) else x
+            x = _conv5_same(xin, enc[f"conv{i}"]["w"], enc[f"conv{i}"]["b"])
+            if block0_f32 and i == 0:
+                x = x.astype(out_dtype)
+            x, new_state[f"bn{i}"] = _batchnorm(x, enc[f"bn{i}"], state[f"bn{i}"], train)
+            x = pool(x)
         x = jnp.tanh(x) if i == 3 else jax.nn.relu(x)
     # channel-major flatten for torch fc-weight layout compatibility
     flat = jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)

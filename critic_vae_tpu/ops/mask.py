@@ -37,7 +37,9 @@ REC601 = (0.2989, 0.5870, 0.1140)
 
 def diff_images(
     vae_params, bn_state, x: jnp.ndarray, values: jnp.ndarray,
-    *, use_pallas: bool | None = None,
+    *, use_pallas: bool | None = None, fused_pool=False,
+    fold_bn: bool = False, pool_impl: str = "reduce_window",
+    block0_f32: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched double-decode diff (reference: get_diff_image, vae_utility.py:256-277).
 
@@ -62,7 +64,10 @@ def diff_images(
     The recon outputs are lazily derived (tanh of the pre-activations); on
     the mask-only path XLA dead-code-eliminates them entirely.
     """
-    mu, _, _ = vae_mod.encode(vae_params, bn_state, x, train=False)
+    mu, _, _ = vae_mod.encode(
+        vae_params, bn_state, x, train=False, fused_pool=fused_pool,
+        fold_bn=fold_bn, pool_impl=pool_impl, block0_f32=block0_f32,
+    )
     b = mu.shape[0]
     pre = vae_mod.decode(
         vae_params,
@@ -155,7 +160,8 @@ def iou_stacked(gt: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
         "with_recons", "compute_dtype", "recons_u8", "mask_source",
         "saliency_logits", "saliency_samples", "saliency_noise",
         "saliency_sigma", "saliency_method", "saliency_cam_block",
-        "saliency_cam_upsample",
+        "saliency_cam_upsample", "fused_pool", "fold_bn", "pool_impl",
+        "block0_f32",
     ),
 )
 def episode_forward(
@@ -176,6 +182,10 @@ def episode_forward(
     saliency_method: str = "gradient",
     saliency_cam_block: int = 1,
     saliency_cam_upsample: str = "lanczos3",
+    fused_pool: bool = False,
+    fold_bn: bool = False,
+    pool_impl: str = "reduce_window",
+    block0_f32: bool = False,
 ):
     """Fused per-frame stage of the video pipeline: critic score + double
     decode + diff/greyscale/max, one XLA program over the whole frame batch
@@ -188,6 +198,10 @@ def episode_forward(
         recon tensors in HBM — the mask/IoU path needs only the diff maps.
       compute_dtype: "float32" (parity default) or "bfloat16" (halves HBM
         traffic on this memory-bound pipeline).
+      fused_pool: route the critic's and encoder's conv+pool blocks through
+        the phase-packed stride-2 formulation (ops/poolconv.py) — exact up
+        to GEMM-order reassociation; serving-path throughput optimization
+        (bench.py runs with it on).
       mask_source: "diff" (faithful default — VAE recon difference,
         vae_utility.py:171-184) or "saliency" (critic input-gradient maps,
         ops/saliency.py — measured ~2.4× the diff method's IoU on the
@@ -260,9 +274,17 @@ def episode_forward(
         diff = sal
         max_value = sal.max(axis=(1, 2))
     else:
-        preds = critic_mod.critic_apply(critic_params, x)[:, 0]
+        # fused_pool=True resolves to each model's measured-best serving
+        # config: "s2d" first-block for the critic (its whole cost), the
+        # FUSED_POOL_SERVING tuple for the encoder (models/*.py round-4
+        # notes)
+        critic_fp = "s2d" if fused_pool is True else fused_pool
+        preds = critic_mod.critic_apply(
+            critic_params, x, fused_pool=critic_fp, block0_f32=block0_f32,
+        )[:, 0]
         recon_one, recon_zero, diff, max_value = diff_images(
-            vae_params, bn_state, x, preds
+            vae_params, bn_state, x, preds, fused_pool=fused_pool,
+            fold_bn=fold_bn, pool_impl=pool_impl, block0_f32=block0_f32,
         )
     out = {
         "preds": preds.astype(jnp.float32),

@@ -57,19 +57,47 @@ def train(
     keep_checkpoints: int = 3,
     resume: bool = True,
     use_mesh: bool = True,
+    shard_dataset="auto",
     initial_state: Optional[TrainState] = None,
     progress: bool = True,
     log_images: bool = False,
     value_consistency: float = 0.0,
+    mask_distill: float = 0.0,
+    pseudo_masks: Optional[np.ndarray] = None,
     film: bool = False,
 ) -> TrainState:
     """Train the VAE on (N, 64, 64, 3) frames — float in [0, 1] or uint8.
+
+    ``shard_dataset``: shard the HBM-resident dataset along the mesh's data
+    axis (N/D rows per device, collective-free local batch gathers —
+    train/step.py::make_sharded_multi_step) so dataset capacity scales with
+    chips instead of being replicated onto each (VERDICT r3 #6). "auto"
+    (default) shards whenever the mesh has >1 device and N and B divide by
+    it; True requires divisibility (loud error otherwise); False keeps the
+    replicated layout. Sampling becomes device-stratified per epoch (each
+    frame still seen exactly once; see sharded_epoch_indices).
+
+    ``mask_distill`` / ``pseudo_masks``: opt-in self-distillation of the
+    faithful mask path (round 4; pipelines/distill.py builds the
+    (N, H, W) pseudo-label masks from the frozen critic's LayerCAM + CRF —
+    no ground truth). The masks ride HBM-resident next to the dataset
+    (uint8, same replicated/sharded layout) and the loss pushes the
+    recon-diff signal into their support (train/step.py).
 
     Returns the final TrainState (params + BN stats + optimizer + step).
     """
     dataset = np.asarray(dataset)
     if dataset.ndim != 4:
         raise ValueError(f"dataset must be (N, H, W, C), got {dataset.shape}")
+    if mask_distill > 0.0:
+        if pseudo_masks is None:
+            raise ValueError("mask_distill > 0 requires pseudo_masks")
+        pseudo_masks = np.asarray(pseudo_masks).astype(np.uint8)
+        if pseudo_masks.shape != dataset.shape[:3]:
+            raise ValueError(
+                f"pseudo_masks {pseudo_masks.shape} must be row-aligned with "
+                f"the dataset {dataset.shape[:3]}"
+            )
     if dataset.dtype != np.uint8:
         # copy=False: memory-mapped .npy datasets (pipelines/dataset.py)
         # must not be duplicated into RAM just to no-op the dtype
@@ -92,40 +120,101 @@ def train(
     if initial_state is not None:
         state = initial_state
 
+    # resolve the dataset layout over the mesh (VERDICT r3 #6)
+    shard_ds = False
+    if mesh is not None and mesh.devices.size > 1 and shard_dataset:
+        d = int(mesh.devices.size)
+        divisible = num_samples % d == 0 and batch_size % d == 0
+        if divisible:
+            shard_ds = True
+        elif shard_dataset != "auto":
+            raise ValueError(
+                f"shard_dataset=True needs the dataset ({num_samples}) and "
+                f"batch size ({batch_size}) divisible by the mesh size ({d})"
+            )
+        elif primary:
+            print(
+                f"dataset not shardable over {d} devices "
+                f"({num_samples} % {d} or {batch_size} % {d} != 0); "
+                "replicating"
+            )
+
     start_step = 0
     if resume and checkpoint_dir:
         # every process restores (checkpoint_dir is on a shared filesystem in
         # multi-host runs — each host needs the same state to replicate)
         latest = ckpt_io.latest_checkpoint(checkpoint_dir)
         if latest is not None:
-            _validate_resume_meta(latest[0], num_samples, batch_size, seed, film)
+            _validate_resume_meta(
+                latest[0], num_samples, batch_size, seed, film, shard_ds
+            )
             state = ckpt_io.restore_train_state(latest[0], state)
             start_step = int(latest[1])
             if primary:
                 print(f"resumed from {latest[0]} (step {start_step})")
 
+    masks_dev = None
     if mesh is not None:
         state = replicate(mesh, state)
         critic_params = replicate(mesh, critic_params)
-        dataset_dev = replicate(mesh, dataset)
+        if shard_ds:
+            from jax.sharding import PartitionSpec as P
+
+            dataset_dev = device_put_global(
+                mesh, dataset, P(DATA_AXIS, None, None, None)
+            )
+            if mask_distill > 0.0:
+                masks_dev = device_put_global(
+                    mesh, pseudo_masks, P(DATA_AXIS, None, None)
+                )
+        else:
+            dataset_dev = replicate(mesh, dataset)
+            if mask_distill > 0.0:
+                masks_dev = replicate(mesh, pseudo_masks)
     else:
         dataset_dev = jnp.asarray(dataset)
+        if mask_distill > 0.0:
+            masks_dev = jnp.asarray(pseudo_masks)
 
     # compute_dtype="bfloat16" runs conv/matmul math in bf16 (params, Adam
     # state, BN statistics, and the loss stay float32 — see train/step.py);
     # measured descent-equivalent on synthetic data, see docs/DESIGN.md.
-    multi_step = make_multi_step(
-        critic_params, tx, kld_weight=kld_weight,
-        faithful_msssim=faithful_msssim, mesh=mesh,
-        compute_dtype=jnp.dtype(compute_dtype),
-        value_consistency=value_consistency,
-    )
+    if shard_ds:
+        from critic_vae_tpu.train.step import make_sharded_multi_step
+
+        multi_step = make_sharded_multi_step(
+            critic_params, tx, mesh=mesh, kld_weight=kld_weight,
+            faithful_msssim=faithful_msssim,
+            compute_dtype=jnp.dtype(compute_dtype),
+            value_consistency=value_consistency, mask_distill=mask_distill,
+        )
+    else:
+        multi_step = make_multi_step(
+            critic_params, tx, kld_weight=kld_weight,
+            faithful_msssim=faithful_msssim, mesh=mesh,
+            compute_dtype=jnp.dtype(compute_dtype),
+            value_consistency=value_consistency, mask_distill=mask_distill,
+        )
 
     logger = MetricLogger(log_dir) if (log_dir and primary) else None
     shuffle_rng = np.random.default_rng(seed)
+
+    def draw_epoch_idx() -> np.ndarray:
+        if shard_ds:
+            from critic_vae_tpu.train.step import sharded_epoch_indices
+
+            return sharded_epoch_indices(
+                shuffle_rng, num_samples, batch_size, int(mesh.devices.size)
+            )
+        order = shuffle_rng.permutation(num_samples)
+        # drop the tail batch like the reference (vae.py:44-46)
+        return order[: steps_per_epoch * batch_size].reshape(
+            steps_per_epoch, batch_size
+        ).astype(np.int32)
+
     start_epoch, start_row = divmod(start_step, max(steps_per_epoch, 1))
     for _ in range(start_epoch):  # keep the shuffle stream deterministic on resume
-        shuffle_rng.permutation(num_samples)
+        draw_epoch_idx()
 
     # Dispatch granularity: one lax.scan per epoch when checkpointing is off
     # (scan compile time is trip-count-independent; per-dispatch host overhead
@@ -143,11 +232,7 @@ def train(
     last_ckpt_step = start_step
     try:
         for ep in range(start_epoch, epochs):
-            order = shuffle_rng.permutation(num_samples)
-            # drop the tail batch like the reference (vae.py:44-46)
-            idx_epoch = order[: steps_per_epoch * batch_size].reshape(
-                steps_per_epoch, batch_size
-            ).astype(np.int32)
+            idx_epoch = draw_epoch_idx()
             host_rows = []
             row = start_row if ep == start_epoch else 0
             while row < steps_per_epoch:
@@ -164,7 +249,12 @@ def train(
                     )
                 else:
                     idx_dev = jnp.asarray(idx_chunk)
-                state, metrics = multi_step(state, dataset_dev, idx_dev)
+                if mask_distill > 0.0:
+                    state, metrics = multi_step(
+                        state, dataset_dev, idx_dev, masks_dev
+                    )
+                else:
+                    state, metrics = multi_step(state, dataset_dev, idx_dev)
                 # one bulk device_get per dispatch — per-element device
                 # indexing costs ~40 ms/scalar through a tunneled PJRT backend
                 host_rows.append(jax.device_get(metrics))
@@ -179,7 +269,7 @@ def train(
                             checkpoint_dir, state, keep_checkpoints,
                             meta={"num_samples": num_samples,
                                   "batch_size": batch_size, "seed": seed,
-                                  "film": film},
+                                  "film": film, "shard_dataset": shard_ds},
                         )
                     last_ckpt_step = cur_step
             host = {
@@ -226,7 +316,7 @@ def train(
         _save_ckpt(
             checkpoint_dir, state, keep_checkpoints,
             meta={"num_samples": num_samples, "batch_size": batch_size,
-                  "seed": seed, "film": film},
+                  "seed": seed, "film": film, "shard_dataset": shard_ds},
         )
     return state
 
@@ -294,7 +384,7 @@ def _meta_path(ckpt_path: str) -> str:
 
 def _validate_resume_meta(
     ckpt_path: str, num_samples: int, batch_size: int, seed: int,
-    film: bool = False,
+    film: bool = False, shard_dataset: bool = False,
 ) -> None:
     """Refuse to resume when the deterministic shuffle replay would misalign.
 
@@ -313,8 +403,11 @@ def _validate_resume_meta(
     with open(mpath) as f:
         meta = json.load(f)
     ours = {"num_samples": num_samples, "batch_size": batch_size, "seed": seed,
-            "film": film}
+            "film": film, "shard_dataset": shard_dataset}
     meta.setdefault("film", False)  # round-2 checkpoints predate the flag
+    # round-3 checkpoints predate dataset sharding; its shuffle stream
+    # differs (D local permutations vs 1 global), so mode flips misalign
+    meta.setdefault("shard_dataset", False)
     mismatched = {k: (meta[k], ours[k]) for k in ours if meta.get(k) != ours[k]}
     if mismatched:
         raise ValueError(

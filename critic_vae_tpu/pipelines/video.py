@@ -213,7 +213,7 @@ def eval_episode(
     num_threads: int = 0,
     compute_dtype: str = "float32",
     mesh=None,
-    crf_backend: str = "host",
+    crf_backend: str = "auto",
     recons_u8: bool = False,
     with_recons: bool = True,
     mask_source: str = "diff",
@@ -245,6 +245,12 @@ def eval_episode(
         reaches ~4.6× the recon-diff IoU on the synthetic benchmark
         (docs/artifacts/saliency.json).
     """
+    if run_crf:
+        from critic_vae_tpu.crf.policy import resolve_crf_backend
+
+        crf_backend = resolve_crf_backend(
+            crf_backend, frames_u8.shape[1], frames_u8.shape[2]
+        )
     host, diff_chunks, valids = episode_device_stage(
         vae_params, bn_state, critic_params, frames_u8, batch_size,
         compute_dtype=compute_dtype, mesh=mesh, recons_u8=recons_u8,
@@ -305,7 +311,7 @@ def threshold_sweep(
     num_threads: int = 0,
     compute_dtype: str = "float32",
     mesh=None,
-    crf_backend: str = "host",
+    crf_backend: str = "auto",
     mask_source: str = "diff",
     saliency_opts: Optional[Dict] = None,
 ) -> List[Dict]:
@@ -318,6 +324,12 @@ def threshold_sweep(
     over every chip, and ``mask_source`` selects the mask signal, as in
     :func:`eval_episode`.
     """
+    if run_crf:
+        from critic_vae_tpu.crf.policy import resolve_crf_backend
+
+        crf_backend = resolve_crf_backend(
+            crf_backend, frames_u8.shape[1], frames_u8.shape[2]
+        )
     host, diff_chunks, valids = episode_device_stage(
         vae_params, bn_state, critic_params, frames_u8, batch_size,
         with_recons=False, compute_dtype=compute_dtype, mesh=mesh, fetch=False,

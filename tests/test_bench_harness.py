@@ -1,0 +1,96 @@
+"""Multi-device bench harness correctness (VERDICT r3 #9).
+
+BENCH_DEVICES>1 was never exercised past 1 real chip. These tests pin the
+harness semantics on the virtual 8-device CPU mesh: the frame batch is
+genuinely SHARDED (each device owns B/N frames — the basis on which
+"aggregate = N× per-chip at fixed per-chip batch" is honest), the sharded
+pipeline computes the same results as single-device, and bench.py's JSON
+line switches to the aggregate metric name. True wall-clock scaling cannot
+be asserted on this 1-core host (8 virtual devices share one core); shard
+placement + result equivalence are the machine-checkable halves, and the
+real-chip number stays per-chip-honest because the driver runs with the
+default BENCH_DEVICES=1.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_shard_batch_places_equal_shards():
+    from critic_vae_tpu.parallel.mesh import make_mesh, shard_batch
+
+    mesh = make_mesh(8)
+    frames = np.random.default_rng(0).random((64, 64, 64, 3)).astype(np.float32)
+    arr = shard_batch(mesh, frames)
+    shard_rows = sorted(
+        (s.index[0].start or 0, s.data.shape[0]) for s in arr.addressable_shards
+    )
+    assert [n for _, n in shard_rows] == [8] * 8  # 64/8 frames per device
+    assert [start for start, _ in shard_rows] == list(range(0, 64, 8))
+    np.testing.assert_array_equal(np.asarray(arr), frames)
+
+
+def test_sharded_pipeline_matches_single_device(critic_params):
+    """The bench pipeline under an 8-device mesh must produce the same
+    preds/diff/masks as the single-device program (DP is zero-collective
+    here — pure batch split)."""
+    from critic_vae_tpu.models.vae import init_vae_params
+    from critic_vae_tpu.ops.mask import episode_forward, normalize_diffs, threshold_masks
+    from critic_vae_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    vae_params, bn_state = init_vae_params(jax.random.key(0))
+    frames = np.random.default_rng(1).random((32, 64, 64, 3)).astype(np.float32)
+    thresholds = jnp.asarray([0, 50, 120])
+
+    def pipeline(vp, bs, cp, fr):
+        out = episode_forward(vp, bs, cp, fr, with_recons=False)
+        diff_u8, _ = normalize_diffs(out["diff"], out["max_value"])
+        return out["preds"], diff_u8, threshold_masks(diff_u8, thresholds)
+
+    single = jax.jit(pipeline)(vae_params, bn_state, critic_params, jnp.asarray(frames))
+
+    mesh = make_mesh(8)
+    sharded = jax.jit(pipeline)(
+        replicate(mesh, vae_params), replicate(mesh, bn_state),
+        replicate(mesh, critic_params), shard_batch(mesh, frames),
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded[0]), np.asarray(single[0]), atol=1e-6
+    )
+    assert np.mean(
+        np.abs(np.asarray(sharded[1], np.int32) - np.asarray(single[1], np.int32)) <= 1
+    ) > 0.999
+    # a ±1 diff level sitting exactly on a threshold may flip that pixel's
+    # mask bit (layout-dependent reassociation); demand ≥99.9% agreement
+    assert np.mean(np.asarray(sharded[2]) == np.asarray(single[2])) > 0.999
+
+
+def test_bench_script_multi_device_json_line():
+    """bench.py with BENCH_DEVICES=8 on the virtual CPU mesh must emit the
+    aggregate-metric JSON line with the honest rep/spread fields."""
+    env = dict(os.environ)
+    env.update(
+        BENCH_DEVICES="8", BENCH_BATCH="64", BENCH_ITERS="2", BENCH_REPS="2",
+        BENCH_DTYPE="float32",
+        XLA_FLAGS=env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
+        BENCH_PLATFORM="cpu",
+        PYTHONPATH=REPO,
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, env=env, timeout=540,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["metric"] == "video_pipeline_frames_per_sec_8dev_aggregate"
+    assert rec["value"] > 0 and rec["reps"] == 2
+    assert rec["min"] <= rec["value"] <= rec["max"]

@@ -95,3 +95,38 @@ def test_scaffold_skip_passes_unrefined_frames_through(episode):
     out, _ = crf_reference_scaffold(frames, mask.copy(), gt, skip=2)
     np.testing.assert_array_equal(out[1::2, 0], noisy[1::2].astype(bool))
     assert not np.array_equal(out[0::2, 0], noisy[0::2].astype(bool))
+
+
+def test_backend_policy_auto():
+    """crf/policy.py resolution matrix (VERDICT r3 #7/#8)."""
+    import pytest
+
+    from critic_vae_tpu.crf.policy import resolve_crf_backend
+
+    # accelerator, single-process, small: device on the DEFAULT path
+    assert resolve_crf_backend(
+        "auto", 64, 64, backend_platform="tpu", process_count=1
+    ) == "device"
+    assert resolve_crf_backend(
+        "auto", 128, 128, backend_platform="tpu", process_count=1
+    ) == "device"
+    # CPU backend, multi-host, or big resolution: host
+    assert resolve_crf_backend(
+        "auto", 64, 64, backend_platform="cpu", process_count=1
+    ) == "host"
+    assert resolve_crf_backend(
+        "auto", 64, 64, backend_platform="tpu", process_count=2
+    ) == "host"
+    assert resolve_crf_backend(
+        "auto", 256, 256, backend_platform="tpu", process_count=1
+    ) == "host"
+    # explicit requests pass through; device past the O(N^2) memory budget
+    # errors loudly and steers to host
+    assert resolve_crf_backend("host", 256, 256) == "host"
+    assert resolve_crf_backend(
+        "device", 128, 128, backend_platform="cpu", process_count=4
+    ) == "device"
+    with pytest.raises(ValueError, match="host"):
+        resolve_crf_backend("device", 256, 256)
+    with pytest.raises(ValueError, match="auto|host|device"):
+        resolve_crf_backend("lattice", 64, 64)

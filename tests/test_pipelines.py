@@ -447,3 +447,25 @@ print(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss)
     # the malloc arena) + output, with slack. Measured on this host:
     # new path ~556 MB over baseline, old stack->transpose->astype ~740 MB.
     assert load_mb < 3.2 * data_mb, (load_mb, data_mb)
+
+
+@requires_reference
+def test_build_pseudo_masks_and_distill_train(critic_params):
+    """pipelines/distill.py end-to-end (round 4): LayerCAM pseudo-labels on
+    tiny frames (CRF off for speed — the refinement path is covered by
+    test_crf_device), then one distilled training epoch through the public
+    train() API."""
+    from critic_vae_tpu.pipelines.distill import build_pseudo_masks
+    from critic_vae_tpu.pipelines.train import train
+
+    frames = (np.random.default_rng(0).random((12, 64, 64, 3)) * 255).astype(np.uint8)
+    pm = build_pseudo_masks(critic_params, frames, run_crf=False, batch_size=8)
+    assert pm.shape == (12, 64, 64) and pm.dtype == bool
+    assert 0.0 < pm.mean() < 1.0  # threshold neither empty nor full
+
+    state = train(
+        critic_params, frames, epochs=1, batch_size=4,
+        mask_distill=0.3, pseudo_masks=pm,
+        use_mesh=False, resume=False, progress=False,
+    )
+    assert int(np.asarray(state.step)) == 3

@@ -206,3 +206,137 @@ def test_film_training_moves_film_params(critic_params, batch):
     assert np.isfinite(float(metrics["total_loss"]))
     film_w = np.asarray(state.params["decoder"]["film0"]["w"])
     assert np.abs(film_w).max() > 0, "film params never received gradient"
+
+
+@requires_reference
+def test_sharded_dataset_multi_step_matches_replicated(critic_params):
+    """make_sharded_multi_step (dataset sharded over the mesh, local
+    gathers) must reproduce make_multi_step (dataset replicated) given the
+    equivalent global indices — HBM capacity now scales with chips at
+    unchanged math (VERDICT r3 #6)."""
+    from critic_vae_tpu.parallel.mesh import device_put_global
+    from critic_vae_tpu.train.step import (
+        make_multi_step,
+        make_sharded_multi_step,
+        sharded_epoch_indices,
+    )
+    from jax.sharding import PartitionSpec as P
+
+    assert jax.device_count() >= 8
+    mesh = make_mesh(8)
+    n, bsz, ndev = 64, 16, 8
+    dataset = np.random.default_rng(3).random((n, 64, 64, 3), dtype=np.float32)
+
+    rng = np.random.default_rng(0)
+    idx_local = sharded_epoch_indices(rng, n, bsz, ndev)
+    assert idx_local.shape == (4, 16)  # S=8 rows/device, 2/batch → 4 steps
+    s, pb = n // ndev, bsz // ndev
+    # equivalent GLOBAL indices for the replicated driver: offset each
+    # device-block column by its shard's base row
+    owner_base = np.repeat(np.arange(ndev) * s, pb)[None, :]
+    idx_global = (idx_local + owner_base).astype(np.int32)
+
+    state0, tx = init_train_state(jax.random.key(1))
+    critic8 = replicate(mesh, critic_params)
+
+    repl_step = make_multi_step(critic8, tx, mesh=mesh, donate=False)
+    st_r = replicate(mesh, jax.tree.map(jnp.copy, state0))
+    st_r, m_r = repl_step(
+        st_r, replicate(mesh, dataset),
+        device_put_global(mesh, idx_global, P(None, "data")),
+    )
+
+    sh_step = make_sharded_multi_step(critic8, tx, mesh=mesh, donate=False)
+    ds_sh = device_put_global(mesh, dataset, P("data", None, None, None))
+    # the sharded dataset must actually be sharded: N/8 rows per device
+    assert all(
+        sh.data.shape[0] == s for sh in ds_sh.addressable_shards
+    )
+    st_s = replicate(mesh, jax.tree.map(jnp.copy, state0))
+    st_s, m_s = sh_step(
+        st_s, ds_sh, device_put_global(mesh, idx_local, P(None, "data"))
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(m_s["total_loss"]), np.asarray(m_r["total_loss"]),
+        rtol=2e-5, atol=2e-6,
+    )
+    for a, b in zip(jax.tree.leaves(st_s.params), jax.tree.leaves(st_r.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6
+        )
+
+
+def test_sharded_epoch_indices_validation_and_coverage():
+    from critic_vae_tpu.train.step import sharded_epoch_indices
+
+    rng = np.random.default_rng(5)
+    idx = sharded_epoch_indices(rng, 64, 16, 8)
+    # every local offset in range; each device column-block covers its shard
+    assert idx.min() >= 0 and idx.max() < 8
+    for d in range(8):
+        block = idx[:, d * 2 : (d + 1) * 2].ravel()
+        assert sorted(block.tolist()) == list(range(8))  # full epoch coverage
+    with pytest.raises(ValueError, match="divide over"):
+        sharded_epoch_indices(rng, 64, 15, 8)
+    with pytest.raises(ValueError, match="divisible by the mesh"):
+        sharded_epoch_indices(rng, 63, 16, 8)
+    with pytest.raises(ValueError, match="smaller than the per-device"):
+        sharded_epoch_indices(rng, 8, 16, 8)
+
+
+@requires_reference
+def test_mask_distill_term_active_and_targeted(critic_params, batch):
+    """The self-distillation Dice term must appear in the metrics, raise the
+    total, and actually pull the diff signal toward the pseudo-masks:
+    training with a fixed mask should reduce md_loss."""
+    from critic_vae_tpu.train.step import make_train_step
+
+    masks = np.zeros((16, 64, 64), np.uint8)
+    masks[:, 20:44, 20:44] = 1
+    state, tx = init_train_state(jax.random.key(0))
+    step = make_train_step(critic_params, tx, donate=False, mask_distill=0.5)
+    b, m = jnp.asarray(batch), jnp.asarray(masks)
+    first = None
+    for _ in range(25):
+        state, metrics = step(state, b, m)
+        if first is None:
+            first = float(metrics["md_loss"])
+    last = float(metrics["md_loss"])
+    assert np.isfinite(last) and 0.0 < first
+    assert last < first, (first, last)
+    # total includes the term
+    assert float(metrics["total_loss"]) >= float(metrics["md_loss"])
+
+
+@requires_reference
+def test_mask_distill_multi_step_gathers_rows(critic_params):
+    """multi_step with mask_distill gathers pseudo-mask rows with the same
+    indices as the batch (row alignment)."""
+    from critic_vae_tpu.train.step import make_multi_step
+
+    n = 32
+    dataset = np.random.default_rng(0).random((n, 64, 64, 3), dtype=np.float32)
+    masks = np.zeros((n, 64, 64), np.uint8)
+    masks[:, 8:56, 8:56] = 1
+    state, tx = init_train_state(jax.random.key(2))
+    ms = make_multi_step(critic_params, tx, donate=False, mask_distill=0.3)
+    idx = np.arange(32, dtype=np.int32).reshape(2, 16)
+    state, metrics = ms(state, jnp.asarray(dataset), jnp.asarray(idx), jnp.asarray(masks))
+    assert metrics["md_loss"].shape == (2,)
+    assert np.all(np.isfinite(np.asarray(metrics["md_loss"])))
+
+
+def test_train_pipeline_mask_distill_validation():
+    from critic_vae_tpu.models.critic import init_critic_params
+    from critic_vae_tpu.pipelines.train import train
+
+    critic = init_critic_params(jax.random.key(0))
+    data = np.random.default_rng(1).random((8, 64, 64, 3), dtype=np.float32)
+    with pytest.raises(ValueError, match="requires pseudo_masks"):
+        train(critic, data, epochs=1, batch_size=4, mask_distill=0.1,
+              use_mesh=False, resume=False, progress=False)
+    with pytest.raises(ValueError, match="row-aligned"):
+        train(critic, data, epochs=1, batch_size=4, mask_distill=0.1,
+              pseudo_masks=np.zeros((4, 64, 64)), use_mesh=False,
+              resume=False, progress=False)
