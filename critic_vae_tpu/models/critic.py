@@ -56,6 +56,8 @@ def critic_apply(
     tap_offset: Tuple[int, jnp.ndarray] | None = None,
     fused_pool: bool | str = False,
     block0_f32: bool = False,
+    downstream_dtype=None,
+    start_block: int = 0,
 ) -> jnp.ndarray | Tuple:  # (pred[, embeds][, tap]) as enabled below
     """Tree-trunk probability for a batch of frames.
 
@@ -87,9 +89,17 @@ def critic_apply(
         the critic's serving cost (round-4 per-block profile: prefix1
         1.52 ms vs whole critic 1.47 ms) because 3 input channels leave
         the MXU lanes empty.
-      block0_f32: run the first conv block in float32 even for bf16 x —
-        measured FASTER on v5e (XLA's bf16 conv path handles 3-channel
-        inputs badly; round-4 calibration probe) and strictly more precise.
+      block0_f32: run the first CONV in float32 (its output casts back
+        inside the conv epilogue) — measured FASTER on v5e (XLA's bf16
+        conv path handles 3-channel inputs badly; round-4 calibration
+        probe: 1.47 → 1.12 ms for the whole critic) and strictly more
+        precise. Pass x already f32 with ``downstream_dtype`` = the bf16
+        compute dtype to avoid an input cast copy.
+      downstream_dtype: dtype for everything after block 0 (default
+        x.dtype).
+      start_block: resume from this block with x = the previous block's
+        post-pool activation (serving fusion entry, ops/mask.py merged
+        front-end). Incompatible with collect/tap of skipped blocks.
 
     Returns:
       (B, 1) probabilities in (0, 1) (or logits); with ``collect``, also a
@@ -114,7 +124,14 @@ def critic_apply(
 
     embeds: List[jnp.ndarray] = []
     tap = None
-    for i in range(4):
+    if downstream_dtype is not None:
+        dtype = jnp.dtype(downstream_dtype)
+    if start_block > 0 and (collect or (tap_offset is not None and tap_offset[0] < start_block)):
+        raise ValueError(
+            "critic_apply: collect/tap of skipped blocks is unavailable "
+            f"with start_block={start_block}"
+        )
+    for i in range(start_block, 4):
         if fused_pool == "s2d" and i == 0:
             from critic_vae_tpu.ops.poolconv import s2d_conv_pool2_phases
 

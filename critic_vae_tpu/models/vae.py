@@ -193,7 +193,8 @@ def encode(
     params: Params, state: State, x: jnp.ndarray, *, train: bool = False,
     fused_pool: bool | Tuple[bool, bool, bool, bool] = False,
     fold_bn: bool = False, pool_impl: str = "reduce_window",
-    block0_f32: bool = False,
+    block0_f32: bool = False, start_block: int = 0,
+    downstream_dtype=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, State]:
     """x (B,64,64,3) → (mu, logvar) each (B,32), plus updated BN state.
 
@@ -221,7 +222,11 @@ def encode(
     64×64 input badly (1.59 ms bf16 vs 1.13 ms f32 for the conv alone,
     round-4 calibration probe; the first cut that upcast the WHOLE block
     measured 4.65 ms — f32 pool bytes ate the conv win) — and strictly
-    more precise.
+    more precise. Pass x ALREADY f32 with ``downstream_dtype`` set to the
+    bf16 compute dtype to avoid any input cast copy (a materialized f32
+    input copy cancels the win — measured 6.89 vs 6.83 ms full-pipeline).
+
+    ``downstream_dtype``: dtype for blocks after block 0 (default x.dtype).
     """
     if fused_pool is True:
         fused_pool = FUSED_POOL_SERVING
@@ -234,8 +239,14 @@ def encode(
     pool = _maxpool2 if pool_impl == "reduce_window" else _maxpool2_strided
     enc = params["encoder"]
     new_state: State = {}
-    out_dtype = x.dtype
-    for i in range(4):
+    out_dtype = jnp.dtype(downstream_dtype) if downstream_dtype is not None else x.dtype
+    # start_block > 0: x is the post-activation output of block
+    # start_block-1 (serving fusion entry — ops/mask.py merged front-end
+    # computes block 0 jointly with the critic's); the skipped blocks'
+    # running stats pass through untouched.
+    for i in range(start_block):
+        new_state[f"bn{i}"] = state[f"bn{i}"]
+    for i in range(start_block, 4):
         if fused_pool[i]:
             from critic_vae_tpu.ops.poolconv import (
                 conv_pool2_phases,

@@ -39,7 +39,7 @@ def diff_images(
     vae_params, bn_state, x: jnp.ndarray, values: jnp.ndarray,
     *, use_pallas: bool | None = None, fused_pool=False,
     fold_bn: bool = False, pool_impl: str = "reduce_window",
-    block0_f32: bool = False,
+    block0_f32: bool = False, downstream_dtype=None, start_block: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched double-decode diff (reference: get_diff_image, vae_utility.py:256-277).
 
@@ -67,6 +67,7 @@ def diff_images(
     mu, _, _ = vae_mod.encode(
         vae_params, bn_state, x, train=False, fused_pool=fused_pool,
         fold_bn=fold_bn, pool_impl=pool_impl, block0_f32=block0_f32,
+        downstream_dtype=downstream_dtype, start_block=start_block,
     )
     b = mu.shape[0]
     pre = vae_mod.decode(
@@ -161,7 +162,7 @@ def iou_stacked(gt: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
         "saliency_logits", "saliency_samples", "saliency_noise",
         "saliency_sigma", "saliency_method", "saliency_cam_block",
         "saliency_cam_upsample", "fused_pool", "fold_bn", "pool_impl",
-        "block0_f32",
+        "block0_f32", "front_end",
     ),
 )
 def episode_forward(
@@ -186,6 +187,7 @@ def episode_forward(
     fold_bn: bool = False,
     pool_impl: str = "reduce_window",
     block0_f32: bool = False,
+    front_end: str = "auto",
 ):
     """Fused per-frame stage of the video pipeline: critic score + double
     decode + diff/greyscale/max, one XLA program over the whole frame batch
@@ -215,6 +217,14 @@ def episode_forward(
         + SmoothGrad averaging + smoothing σ; ``None`` σ = the per-method
         default; method "gradient" or "layercam" + its tap block). Only
         consulted for the saliency source.
+      front_end: "auto" (default) | "split" | "merged". "merged" computes
+        the critic's 3×3 first conv (zero-padded to 5×5) and the encoder's
+        5×5 first conv as ONE 3→40-channel conv so the pathological
+        3-channel input (round-4 per-block profile: the two first convs =
+        ~3.2 ms of the 7.0 ms pipeline) is read once — bit-identical
+        outputs, +1.5% pipeline throughput. "auto" resolves to merged on
+        the plain diff path and split otherwise (saliency / block0_f32 /
+        fused_pool / fold_bn each need the split first conv).
       saliency_seed: TRACED scalar (numpy uint32, required when
         ``saliency_noise > 0``) from which the noise key is built inside the jitted
         program. A host scalar rather than a key array for the same reason
@@ -236,9 +246,31 @@ def episode_forward(
         raise ValueError(
             f"unknown mask_source {mask_source!r} (diff|saliency)"
         )
+    if front_end == "auto":
+        # merged is bit-identical to split (on-chip probe: pred_max_abs 0.0,
+        # mask_agree 1.0) and +1.5% throughput (7.01 → 6.91 ms at B=1024
+        # bf16), so it is the diff-path default; saliency has no split
+        # first conv to merge. block0_f32 does NOT compose (merged f32 conv
+        # measured 7.03 ms — slower than either alone), so auto keeps split
+        # there.
+        front_end = (
+            "merged" if (mask_source == "diff" and not block0_f32
+                         and not fused_pool and not fold_bn)
+            else "split"
+        )
+    if front_end == "merged" and mask_source != "diff":
+        raise ValueError(
+            "front_end='merged' fuses the critic/encoder first convs on the "
+            "diff mask path; the saliency source differentiates through the "
+            "whole critic and has no split first conv to merge"
+        )
     if frames.dtype == jnp.uint8:
         frames = frames.astype(jnp.float32) / 255.0
-    x = frames.astype(jnp.dtype(compute_dtype))
+    # block0_f32: the first conv blocks consume the f32 frames DIRECTLY
+    # (no bf16 input copy — a materialized cast copy cancels the f32-conv
+    # win, round-4 probe) and cast to compute_dtype at block-0 output.
+    cdt = jnp.dtype(compute_dtype)
+    x = frames.astype(jnp.float32) if block0_f32 else frames.astype(cdt)
     if mask_source == "saliency":
         from critic_vae_tpu.ops.saliency import critic_saliency
 
@@ -278,14 +310,67 @@ def episode_forward(
         # config: "s2d" first-block for the critic (its whole cost), the
         # FUSED_POOL_SERVING tuple for the encoder (models/*.py round-4
         # notes)
-        critic_fp = "s2d" if fused_pool is True else fused_pool
-        preds = critic_mod.critic_apply(
-            critic_params, x, fused_pool=critic_fp, block0_f32=block0_f32,
-        )[:, 0]
-        recon_one, recon_zero, diff, max_value = diff_images(
-            vae_params, bn_state, x, preds, fused_pool=fused_pool,
-            fold_bn=fold_bn, pool_impl=pool_impl, block0_f32=block0_f32,
-        )
+        if front_end == "merged":
+            # Merged front-end (round 4): the critic's 3×3 first conv
+            # (zero-padded to 5×5) and the encoder's 5×5 first conv share
+            # ONE 3→40-channel conv over the frames — the 3-channel input
+            # is read once and the two separately-pathological first convs
+            # (round-4 per-block profile) become one (measured 1.49 → 1.22
+            # ms for the conv pair). Exact: the padded critic kernel
+            # computes identical taps; each branch applies its own
+            # bias/BN/pool/activation in the reference order
+            # (critic_net.py:15-29 conv→ReLU→pool; vae_nets.py:68-88
+            # conv→BN→pool→ReLU).
+            enc0 = vae_params["encoder"]["conv0"]
+            conv_dt = jnp.float32 if block0_f32 else cdt
+            ne = enc0["w"].shape[-1]  # encoder block-0 channels (32)
+            kh = enc0["w"].shape[0] - critic_params["conv0_w"].shape[0]
+            w_cr = jnp.pad(
+                critic_params["conv0_w"],
+                ((kh // 2, kh - kh // 2), (kh // 2, kh - kh // 2),
+                 (0, 0), (0, 0)),
+            )
+            wm = jnp.concatenate(
+                [enc0["w"].astype(conv_dt), w_cr.astype(conv_dt)], axis=-1
+            )
+            y = jax.lax.conv_general_dilated(
+                x.astype(conv_dt), wm, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            # bias in conv_dt BEFORE the cast — matches the split paths'
+            # conv-epilogue bias exactly (bit-identical with block0_f32 too)
+            ye = (y[..., :ne] + enc0["b"].astype(conv_dt)).astype(cdt)
+            ye, _ = vae_mod._batchnorm(
+                ye, vae_params["encoder"]["bn0"], bn_state["bn0"], False
+            )
+            h_enc = jax.nn.relu(vae_mod._maxpool2(ye))
+            yc = jax.nn.relu(
+                (y[..., ne:] + critic_params["conv0_b"].astype(conv_dt))
+                .astype(cdt)
+            )
+            h_cr = vae_mod._maxpool2(yc)
+            preds = critic_mod.critic_apply(
+                critic_params, h_cr, start_block=1
+            )[:, 0]
+            recon_one, recon_zero, diff, max_value = diff_images(
+                vae_params, bn_state, h_enc, preds.astype(cdt), start_block=1,
+            )
+        else:
+            if front_end != "split":
+                raise ValueError(
+                    f"unknown front_end {front_end!r} (split|merged)"
+                )
+            critic_fp = "s2d" if fused_pool is True else fused_pool
+            ddt = cdt if block0_f32 else None
+            preds = critic_mod.critic_apply(
+                critic_params, x, fused_pool=critic_fp, block0_f32=block0_f32,
+                downstream_dtype=ddt,
+            )[:, 0]
+            recon_one, recon_zero, diff, max_value = diff_images(
+                vae_params, bn_state, x, preds.astype(cdt),
+                fused_pool=fused_pool, fold_bn=fold_bn, pool_impl=pool_impl,
+                block0_f32=block0_f32, downstream_dtype=ddt,
+            )
     out = {
         "preds": preds.astype(jnp.float32),
         "diff": diff.astype(jnp.float32),

@@ -145,6 +145,131 @@ def test_episode_forward_chunking_invariance(critic_params):
         )
 
 
+@requires_reference
+def test_episode_forward_merged_front_end_exact(critic_params):
+    """front_end='merged' (one shared 3→40ch first conv, critic 3×3
+    zero-padded to 5×5) must reproduce the split path: identical taps,
+    branch-local bias/BN/pool/activation order preserved."""
+    params, state = vae_mod.init_vae_params(jax.random.key(0))
+    rng = np.random.default_rng(11)
+    frames = rng.random((8, 64, 64, 3)).astype(np.float32)
+    a = episode_forward(
+        params, state, critic_params, jnp.asarray(frames),
+        compute_dtype="float32",
+    )
+    b = episode_forward(
+        params, state, critic_params, jnp.asarray(frames),
+        compute_dtype="float32", front_end="merged",
+    )
+    np.testing.assert_allclose(
+        np.asarray(a["preds"]), np.asarray(b["preds"]), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(a["diff"]), np.asarray(b["diff"]), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(a["max_value"]), np.asarray(b["max_value"]), rtol=1e-5
+    )
+
+
+@requires_reference
+def test_episode_forward_merged_block0_f32_matches_split(critic_params):
+    """merged + block0_f32 must match the SPLIT block0_f32 path (identical
+    numerics — block 0 in f32 both ways, bf16 downstream; only the conv
+    merge differs). block0_f32-vs-bf16 drift itself is a documented
+    precision change, not tested for agreement here."""
+    params, state = vae_mod.init_vae_params(jax.random.key(0))
+    rng = np.random.default_rng(12)
+    frames = rng.random((8, 64, 64, 3)).astype(np.float32)
+    a = episode_forward(
+        params, state, critic_params, jnp.asarray(frames),
+        compute_dtype="bfloat16", block0_f32=True,
+    )
+    b = episode_forward(
+        params, state, critic_params, jnp.asarray(frames),
+        compute_dtype="bfloat16", front_end="merged", block0_f32=True,
+    )
+    # one bf16 ulp at the block-0 output cast (f32 summation order in the
+    # merged conv) can flip downstream bf16 values: ulp(0.8) ≈ 0.0039
+    np.testing.assert_allclose(
+        np.asarray(a["preds"]), np.asarray(b["preds"]), atol=5e-3
+    )
+    ua, _ = normalize_diffs(a["diff"], a["max_value"])
+    ub, _ = normalize_diffs(b["diff"], b["max_value"])
+    close = np.abs(np.asarray(ua).astype(int) - np.asarray(ub).astype(int)) <= 1
+    assert close.mean() > 0.99
+
+
+@requires_reference
+def test_episode_forward_merged_rejects_saliency(critic_params):
+    import pytest
+
+    params, state = vae_mod.init_vae_params(jax.random.key(0))
+    frames = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    with pytest.raises(ValueError, match="merged"):
+        episode_forward(
+            params, state, critic_params, frames,
+            front_end="merged", mask_source="saliency",
+        )
+
+
+def test_encode_start_block_matches_full():
+    """encode(start_block=1) fed block 0's post-pool activation equals the
+    full encode (serving fusion entry)."""
+    params, state = vae_mod.init_vae_params(jax.random.key(3))
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.random((4, 64, 64, 3)).astype(np.float32))
+    mu_full, lv_full, _ = vae_mod.encode(params, state, x, train=False)
+    # block 0 by hand: conv → bias → BN → pool → ReLU (vae_nets.py:68-88)
+    enc0 = params["encoder"]["conv0"]
+    y = jax.lax.conv_general_dilated(
+        x, enc0["w"], (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + enc0["b"]
+    y, _ = vae_mod._batchnorm(y, params["encoder"]["bn0"], state["bn0"], False)
+    h = jax.nn.relu(vae_mod._maxpool2(y))
+    mu_part, lv_part, st = vae_mod.encode(
+        params, state, h, train=False, start_block=1
+    )
+    np.testing.assert_allclose(
+        np.asarray(mu_full), np.asarray(mu_part), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(lv_full), np.asarray(lv_part), rtol=1e-5, atol=1e-6
+    )
+    assert set(st.keys()) == set(state.keys())
+
+
+@requires_reference
+def test_critic_start_block_matches_full(critic_params):
+    from critic_vae_tpu.models.critic import critic_apply
+
+    rng = np.random.default_rng(14)
+    x = jnp.asarray(rng.random((4, 64, 64, 3)).astype(np.float32))
+    full = critic_apply(critic_params, x)
+    # block 0 by hand: conv → ReLU → pool (critic_net.py:15-29)
+    y = jax.lax.conv_general_dilated(
+        x, critic_params["conv0_w"], (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + critic_params["conv0_b"]
+    h = vae_mod._maxpool2(jax.nn.relu(y))
+    part = critic_apply(critic_params, h, start_block=1)
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(part), rtol=1e-5, atol=1e-6
+    )
+
+
+@requires_reference
+def test_critic_start_block_rejects_skipped_taps(critic_params):
+    import pytest
+
+    from critic_vae_tpu.models.critic import critic_apply
+
+    x = jnp.zeros((2, 32, 32, 8), jnp.float32)
+    with pytest.raises(ValueError, match="start_block"):
+        critic_apply(critic_params, x, start_block=1, collect=True)
+
+
 def test_quantize_recons_matches_reference_host_cast():
     """Device uint8 quantization reproduces the reference's truncating
     (x*255).astype(uint8) exactly, including negative wrap (tanh recons go
