@@ -78,6 +78,29 @@ def build_pseudo_masks(
         ))[:valid]
         masks.append(u8 > threshold)
     thr_masks = np.concatenate(masks, axis=0)
+    # Self-consistency check (no ground truth exists in real use): frames
+    # the critic itself scores as trunk-positive should have non-empty CAM
+    # support. The round-4 fresh-critic run failed exactly this way — the
+    # critic classified fine but its LayerCAM localization collapsed
+    # (pseudo-label IoU 0.006; see examples/mask_distill_experiment.py) —
+    # so a high empty rate means the labels are noise and distilling from
+    # them tests nothing. Warn loudly rather than guess a hard threshold.
+    preds = np.asarray(host["preds"])[: len(thr_masks)]
+    positive = preds > 0.5
+    if positive.any():
+        empty = ~thr_masks[positive].any(axis=(1, 2))
+        empty_rate = float(empty.mean())
+        if empty_rate > 0.2:
+            import warnings
+
+            warnings.warn(
+                f"build_pseudo_masks: {empty_rate:.0%} of critic-positive "
+                f"frames have EMPTY pseudo-masks — the critic's LayerCAM "
+                f"localization looks degenerate (validate it against a "
+                f"labeled episode, e.g. the golden-pinned bundled "
+                f"critic-synthetic.npz, before distilling)",
+                stacklevel=2,
+            )
     if not run_crf:
         return thr_masks
     backend = resolve_crf_backend(

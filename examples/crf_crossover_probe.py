@@ -1,20 +1,31 @@
-"""CRF backend crossover: host permutohedral lattice vs exact device
-mean-field at {64², 128², 256²} (round 4, VERDICT r3 #8).
+"""Host-lattice vs device-exact CRF crossover measurement (VERDICT r3 #8).
 
-Random frames + square masks, 64-frame stacks, reference CRF params.
-The device backend is skipped at 256² (its per-frame N×N pairwise matrix
-would be ~8.6 GB — crf/policy.py hard-errors there by design).
-Writes /tmp/crf_crossover.json; table goes into docs/DESIGN.md.
+The two backends scale oppositely with resolution: the C++ permutohedral
+lattice (crf/densecrf.cpp) is O(N) per frame on the host CPU; the exact
+device mean-field (crf/device.py) is O(N²) in pixels but rides the MXU —
+measured ~6× the lattice at the pipeline's native 64². This probe times
+both at {64², 128², 256²} on synthetic frames (256² device is rejected by
+policy — its per-frame bf16 pairwise matrix alone would be ~8.6 GB) and
+writes the crossover table quoted in docs/DESIGN.md ("CRF backend
+crossover"). crf/policy.py::resolve_crf_backend encodes the resulting
+dispatch; reference anchor: the lattice approximation exists precisely for
+large N (vae_utility.py:22-54).
+
+Run: python examples/crf_crossover_probe.py [out.json]
+(expects the TPU for the device rows; host rows run anywhere).
 """
 
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
 
-def main() -> None:
+def main(out_path="/tmp/crf_crossover.json"):
     import jax
 
     cache = os.path.expanduser("~/.cache/critic_vae_tpu/jax")
@@ -22,48 +33,55 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from critic_vae_tpu.crf import refine_masks
+    from critic_vae_tpu.crf import REFERENCE_CRF_PARAMS, refine_masks
     from critic_vae_tpu.crf.device import refine_masks_device
     from critic_vae_tpu.crf.policy import DEVICE_MAX_PIXELS
+    from critic_vae_tpu.data.synthetic import generate_frames
 
-    results = {"frames": 64}
-    rng = np.random.default_rng(0)
-    for hw in (64, 128, 256):
-        n = 64
-        frames = rng.integers(0, 256, (n, hw, hw, 3), np.uint8)
-        masks = np.zeros((n, hw, hw), bool)
-        q = hw // 4
-        masks[:, q : 3 * q, q : 3 * q] = True
-        # flip some pixels so the mean-field has real work
-        noise = rng.random((n, hw, hw)) < 0.05
-        masks = masks ^ noise
+    res = {"params": list(REFERENCE_CRF_PARAMS),
+           "platform": jax.default_backend()}
+    for size in (64, 128, 256):
+        # mask quality does not affect timing; GT trunks are plausible masks
+        n = 64 if size == 64 else (16 if size == 128 else 8)
+        frames, gt = generate_frames(n, size=size, seed=1)
+        row = {"frames": n}
 
         t0 = time.time()
-        host_out = refine_masks(frames, masks)
-        host_s = time.time() - t0
-        results[f"host_{hw}"] = {
-            "s": round(host_s, 2),
-            "frames_per_s": round(n / host_s, 1),
-        }
-        print(f"host_{hw}", results[f"host_{hw}"], flush=True)
+        host_out = refine_masks(frames, gt, REFERENCE_CRF_PARAMS, 0)
+        warm = time.time() - t0
+        t0 = time.time()
+        host_out = refine_masks(frames, gt, REFERENCE_CRF_PARAMS, 0)
+        dt = time.time() - t0
+        row["host_ms_per_frame"] = round(1e3 * dt / n, 2)
+        row["host_frames_per_sec"] = round(n / dt, 1)
+        row["host_warm_build_s"] = round(warm, 2)
+        print(f"{size}²: host {row['host_ms_per_frame']} ms/frame", flush=True)
 
-        if hw * hw <= DEVICE_MAX_PIXELS:
-            # warm-up compile on 8 frames first, then timed run
-            refine_masks_device(frames[:8], masks[:8])
+        if size * size <= DEVICE_MAX_PIXELS and jax.default_backend() != "cpu":
+            dev_out = refine_masks_device(frames, gt, REFERENCE_CRF_PARAMS)
             t0 = time.time()
-            dev_out = refine_masks_device(frames, masks)
-            dev_s = time.time() - t0
-            results[f"device_{hw}"] = {
-                "s": round(dev_s, 2),
-                "frames_per_s": round(n / dev_s, 1),
-                "agree_vs_host": round(float((dev_out == host_out).mean()), 4),
-            }
-            print(f"device_{hw}", results[f"device_{hw}"], flush=True)
+            dev_out = refine_masks_device(frames, gt, REFERENCE_CRF_PARAMS)
+            dt = time.time() - t0
+            row["device_ms_per_frame"] = round(1e3 * dt / n, 2)
+            row["device_frames_per_sec"] = round(n / dt, 1)
+            # the two backends solve the same model by different algorithms
+            # (exact vs lattice approximation) — report agreement, not a pin
+            row["mask_agreement"] = round(
+                float((dev_out == host_out).mean()), 4)
+            print(f"{size}²: device {row['device_ms_per_frame']} ms/frame "
+                  f"(agree {row['mask_agreement']})", flush=True)
+        else:
+            row["device"] = (
+                "policy-rejected: exact O(N²) pairwise matrix "
+                f"~{2 * (size * size) ** 2 / 1e9:.1f} GB/frame"
+                if size * size > DEVICE_MAX_PIXELS else "no accelerator"
+            )
+        res[f"{size}x{size}"] = row
 
-    with open("/tmp/crf_crossover.json", "w") as f:
-        json.dump(results, f, indent=1)
-    print(json.dumps(results))
+    with open(out_path, "w") as f:
+        json.dump(res, f, indent=2)
+    print(json.dumps(res, indent=2))
 
 
 if __name__ == "__main__":
-    main()
+    main(*sys.argv[1:])

@@ -40,7 +40,6 @@ def main(out_dir="/tmp/cvt-md", *weights):
     from critic_vae_tpu.ops.iou import iou
     from critic_vae_tpu.pipelines.distill import build_pseudo_masks
     from critic_vae_tpu.pipelines.train import train
-    from critic_vae_tpu.train.critic import labels_from_masks, train_critic
 
     weights = [float(w) for w in weights] or [0.0, 0.1, 0.3, 1.0]
     os.makedirs(out_dir, exist_ok=True)
@@ -48,13 +47,19 @@ def main(out_dir="/tmp/cvt-md", *weights):
 
     episodes = {s: generate_frames(550, seed=s) for s in (9999, 4242, 777)}
 
-    # identical setup to the round-2/3 ablations' 1x point
-    print("training critic (12800 frames, 15 epochs)...", flush=True)
-    cf, cg = generate_frames(12800, seed=0)
-    critic_params, _ = train_critic(
-        cf, labels_from_masks(cg), epochs=15, batch_size=128,
-        dropout_rate=0.3, progress=False,
-    )
+    # The bundled CAM-validated critic (same one the saliency/CRF-tuning
+    # experiments measured 0.52 thr / 0.79-0.81 CRF IoU with; its LayerCAM
+    # behavior is golden-pinned in tests/test_golden_saliency.py). The first
+    # round-4 run trained a FRESH critic here with the ablations' recipe —
+    # it classified fine but its LayerCAM localization collapsed
+    # (pseudo-label IoU 0.006 vs 0.52, positive fraction 0.019 vs 0.067):
+    # CAM quality is critic-instance-dependent, so distilling from an
+    # unvalidated critic tests nothing. docs/RESULTS.md records both runs.
+    from critic_vae_tpu.models.critic import load_critic
+
+    critic_params = load_critic(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "saved-networks", "critic-synthetic.npz"))
 
     def trajs():
         for t in range(16):

@@ -469,3 +469,28 @@ def test_build_pseudo_masks_and_distill_train(critic_params):
         use_mesh=False, resume=False, progress=False,
     )
     assert int(np.asarray(state.step)) == 3
+
+
+def test_build_pseudo_masks_warns_on_degenerate_labels():
+    """The degenerate-CAM self-consistency warning (round 4): critic-positive
+    frames with empty pseudo-masks mean the labels are noise — the failure
+    mode the first round-4 distill run hit (pseudo-label IoU 0.006 from an
+    unvalidated critic; examples/mask_distill_experiment.py)."""
+    import warnings
+
+    from critic_vae_tpu.data.synthetic import generate_frames
+    from critic_vae_tpu.models.critic import load_critic
+    from critic_vae_tpu.pipelines.distill import build_pseudo_masks
+
+    critic = load_critic(
+        os.path.join(REPO, "saved-networks", "critic-synthetic.npz"))
+    frames, _ = generate_frames(12, seed=3)
+    # threshold 255 empties every mask: u8 > 255 is unsatisfiable
+    with pytest.warns(UserWarning, match="EMPTY pseudo-masks"):
+        build_pseudo_masks(
+            critic, frames, run_crf=False, threshold=255, batch_size=8)
+    # the healthy path must stay silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        pm = build_pseudo_masks(critic, frames, run_crf=False, batch_size=8)
+    assert pm.any()
