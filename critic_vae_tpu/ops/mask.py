@@ -161,7 +161,8 @@ def iou_stacked(gt: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
         "with_recons", "compute_dtype", "recons_u8", "mask_source",
         "saliency_logits", "saliency_samples", "saliency_noise",
         "saliency_sigma", "saliency_method", "saliency_cam_block",
-        "saliency_cam_upsample", "fused_pool", "fold_bn", "pool_impl",
+        "saliency_cam_upsample", "saliency_tta_flip",
+        "fused_pool", "fold_bn", "pool_impl",
         "block0_f32", "front_end",
     ),
 )
@@ -183,6 +184,7 @@ def episode_forward(
     saliency_method: str = "gradient",
     saliency_cam_block: int = 1,
     saliency_cam_upsample: str = "lanczos3",
+    saliency_tta_flip: bool = False,
     fused_pool: bool = False,
     fold_bn: bool = False,
     pool_impl: str = "reduce_window",
@@ -212,7 +214,7 @@ def episode_forward(
         normalization/threshold/CRF machinery via the ``diff``/``max_value``
         keys; recons are still produced when ``with_recons`` for panels.
       saliency_logits / saliency_samples / saliency_noise / saliency_sigma /
-      saliency_method / saliency_cam_block:
+      saliency_method / saliency_cam_block / saliency_tta_flip:
         forwarded to ops/saliency.py::critic_saliency (logit-space gradients
         + SmoothGrad averaging + smoothing σ; ``None`` σ = the per-method
         default; method "gradient" or "layercam" + its tap block). Only
@@ -297,7 +299,8 @@ def episode_forward(
             logits=saliency_logits, samples=saliency_samples,
             noise=saliency_noise, key=sal_key, method=saliency_method,
             cam_block=saliency_cam_block,
-            cam_upsample=saliency_cam_upsample, **sigma_kw,
+            cam_upsample=saliency_cam_upsample,
+            tta_flip=saliency_tta_flip, **sigma_kw,
         )
         if with_recons:
             recon_one, recon_zero, _, _ = diff_images(

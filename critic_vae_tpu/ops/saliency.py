@@ -94,6 +94,7 @@ def critic_saliency(
     method: str = "gradient",
     cam_block: int = 1,
     cam_upsample: str = "lanczos3",
+    tta_flip: bool = False,
 ):
     """Saliency maps + predictions for a batch of frames, one fused program.
 
@@ -155,6 +156,19 @@ def critic_saliency(
         activation-space product already integrates; measured ≤ 0.514 at
         every probed noise) — keep the deterministic default.
         (docs/artifacts/saliency.json for all numbers.)
+      tta_flip: horizontal-flip test-time augmentation — also compute the
+        map of the left-right-flipped frames, flip it back, and keep the
+        element-wise MINIMUM of the raw (pre-normalization) pair. The
+        critic is not flip-equivariant (nothing in training enforced it),
+        so the two views carry partly independent localization error; the
+        min keeps only support BOTH views agree on. Measured on layercam
+        (examples/cam_tta_probe.py, docs/artifacts/cam_tta.json):
+        best-threshold IoU 0.524/0.522/0.526 → **0.554/0.552/0.559**
+        across the three episode seeds (min of raw maps; mean/max and
+        per-frame-normalized combiners all measured worse, gmean close
+        behind). Exactly 2× the saliency-stage cost; ``preds`` stay the
+        clean-view probabilities. Unmeasured for ``method="gradient"``
+        (mechanically supported).
 
     Returns:
       (preds (B,), saliency (B, H, W) float32): ``preds`` are the critic
@@ -186,6 +200,20 @@ def critic_saliency(
         )
     if smooth_sigma is None:
         smooth_sigma = DEFAULT_SMOOTH_SIGMA if method == "gradient" else 0.0
+
+    if tta_flip:
+        # two full passes (clean + flipped-input, un-flipped map), raw-min
+        # combined; preds come from the clean view. The same key serves
+        # both views when SmoothGrad is on — the views are independent
+        # programs, identical noise just makes the pair comparison tighter.
+        kw = dict(
+            smooth_sigma=smooth_sigma, logits=logits, samples=samples,
+            noise=noise, key=key, method=method, cam_block=cam_block,
+            cam_upsample=cam_upsample, tta_flip=False,
+        )
+        preds, sal = critic_saliency(critic_params, x, **kw)
+        _, sal_f = critic_saliency(critic_params, x[:, :, ::-1], **kw)
+        return preds, jnp.minimum(sal, sal_f[:, :, ::-1])
 
     if method == "gradient":
         def score(xb):

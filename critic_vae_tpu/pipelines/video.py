@@ -138,7 +138,8 @@ def episode_device_stage(
     from critic_vae_tpu.parallel.mesh import replicate, shard_batch
 
     sal = dict(logits=False, samples=1, noise=0.0, seed=0, sigma=None,
-               method="gradient", cam_block=1, cam_upsample="lanczos3")
+               method="gradient", cam_block=1, cam_upsample="lanczos3",
+               tta_flip=False)
     if saliency_opts:
         unknown = set(saliency_opts) - set(sal)
         if unknown:
@@ -179,6 +180,7 @@ def episode_device_stage(
             saliency_noise=sal["noise"], saliency_sigma=sal["sigma"],
             saliency_method=sal["method"], saliency_cam_block=sal["cam_block"],
             saliency_cam_upsample=sal["cam_upsample"],
+            saliency_tta_flip=sal["tta_flip"],
             saliency_seed=(
                 np.uint32(sal["seed"] + i // batch_size) if sal_sampling
                 else None

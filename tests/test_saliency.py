@@ -216,6 +216,42 @@ def test_episode_forward_layercam(critic, frames):
                                atol=1e-6)
 
 
+def test_tta_flip_is_min_of_both_views(critic, frames):
+    """tta_flip must equal the element-wise min of the clean map and the
+    un-flipped map of the flipped frames (raw pre-normalization combine —
+    the measured winner, docs/artifacts/cam_tta.json), with preds from the
+    clean view."""
+    x = jnp.asarray(frames)
+    for kw in (dict(method="layercam", cam_block=1),
+               dict(method="gradient", smooth_sigma=1.5)):
+        preds, sal = critic_saliency(critic, x, tta_flip=True, **kw)
+        p0, s0 = critic_saliency(critic, x, **kw)
+        _, s1 = critic_saliency(critic, x[:, :, ::-1], **kw)
+        np.testing.assert_allclose(
+            np.asarray(sal),
+            np.minimum(np.asarray(s0), np.asarray(s1)[:, :, ::-1]),
+            atol=1e-6)
+        np.testing.assert_allclose(np.asarray(preds), np.asarray(p0),
+                                   atol=1e-6)
+
+
+def test_tta_flip_through_pipeline(critic, frames):
+    """--saliency-tta-flip plumbing: episode_forward and the video stage
+    produce the TTA map."""
+    from critic_vae_tpu.ops.mask import episode_forward
+
+    vae_params, bn = init_vae_params(jax.random.key(0))
+    out = episode_forward(
+        vae_params, bn, critic, jnp.asarray(frames), mask_source="saliency",
+        saliency_method="layercam", saliency_tta_flip=True,
+        with_recons=False,
+    )
+    _, sal = critic_saliency(critic, jnp.asarray(frames), method="layercam",
+                             tta_flip=True)
+    np.testing.assert_allclose(np.asarray(out["diff"]), np.asarray(sal),
+                               atol=1e-6)
+
+
 def test_invalid_sample_and_noise_counts_raise(critic, frames):
     """samples=0 must fail loudly, not average over an empty axis into
     all-NaN maps that flow silently through normalization."""
