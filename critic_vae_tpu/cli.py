@@ -249,6 +249,15 @@ def build_parser() -> argparse.ArgumentParser:
         "three episode seeds at 2x the saliency-stage cost "
         "(docs/artifacts/cam_tta.json)",
     )
+    v.add_argument(
+        "--saliency-tta-shift", type=int, default=0, metavar="D",
+        help="saliency: also min-combine the un-shifted maps of the +-D-px "
+        "horizontally shifted frames (composes with --saliency-tta-flip; "
+        "measured best stack: flip + D=2 -> thr-IoU 0.570/0.568/0.575 "
+        "across seeds at 4x the saliency-stage cost; vertical shifts "
+        "measured negative and are not offered — "
+        "docs/artifacts/cam_tta_shift.json)",
+    )
     v.add_argument("--no-gif", action="store_true")
     v.add_argument(
         "--no-slice", action="store_true",
@@ -527,6 +536,7 @@ def cmd_video(args) -> int:
         "cam_block": args.saliency_cam_block,
         "cam_upsample": args.saliency_cam_upsample,
         "tta_flip": args.saliency_tta_flip,
+        "tta_shift": args.saliency_tta_shift,
     }
 
     mesh = None

@@ -161,7 +161,7 @@ def iou_stacked(gt: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
         "with_recons", "compute_dtype", "recons_u8", "mask_source",
         "saliency_logits", "saliency_samples", "saliency_noise",
         "saliency_sigma", "saliency_method", "saliency_cam_block",
-        "saliency_cam_upsample", "saliency_tta_flip",
+        "saliency_cam_upsample", "saliency_tta_flip", "saliency_tta_shift",
         "fused_pool", "fold_bn", "pool_impl",
         "block0_f32", "front_end",
     ),
@@ -185,6 +185,7 @@ def episode_forward(
     saliency_cam_block: int = 1,
     saliency_cam_upsample: str = "lanczos3",
     saliency_tta_flip: bool = False,
+    saliency_tta_shift: int = 0,
     fused_pool: bool = False,
     fold_bn: bool = False,
     pool_impl: str = "reduce_window",
@@ -300,7 +301,8 @@ def episode_forward(
             noise=saliency_noise, key=sal_key, method=saliency_method,
             cam_block=saliency_cam_block,
             cam_upsample=saliency_cam_upsample,
-            tta_flip=saliency_tta_flip, **sigma_kw,
+            tta_flip=saliency_tta_flip, tta_shift=saliency_tta_shift,
+            **sigma_kw,
         )
         if with_recons:
             recon_one, recon_zero, _, _ = diff_images(

@@ -95,6 +95,7 @@ def critic_saliency(
     cam_block: int = 1,
     cam_upsample: str = "lanczos3",
     tta_flip: bool = False,
+    tta_shift: int = 0,
 ):
     """Saliency maps + predictions for a batch of frames, one fused program.
 
@@ -169,6 +170,18 @@ def critic_saliency(
         behind). Exactly 2× the saliency-stage cost; ``preds`` stay the
         clean-view probabilities. Unmeasured for ``method="gradient"``
         (mechanically supported).
+      tta_shift: also min-combine the un-shifted maps of the ±tta_shift-px
+        horizontally shifted frames (the three max-pools lock phase, so
+        the critic is not translation-equivariant either; each view's
+        un-shiftable border columns are excluded from the min). Composes
+        with ``tta_flip``: the measured best stack is
+        ``tta_flip=True, tta_shift=2`` (4 views; measured on-chip cost
+        only −23% stage throughput, 352k → 271k f/s at B=512 — the extra
+        VJP passes are cheap next to the stage's fixed costs) — thr-IoU
+        **0.570/0.568/0.575** across seeds vs flip-only 0.554/0.552/0.559
+        and cam-alone 0.524/0.522/0.526, CRF headline 0.820/0.824/0.822;
+        vertical shifts measured negative and are not offered
+        (examples/cam_tta_shift*_probe.py, docs/artifacts/cam_tta_*.json).
 
     Returns:
       (preds (B,), saliency (B, H, W) float32): ``preds`` are the critic
@@ -201,19 +214,38 @@ def critic_saliency(
     if smooth_sigma is None:
         smooth_sigma = DEFAULT_SMOOTH_SIGMA if method == "gradient" else 0.0
 
-    if tta_flip:
-        # two full passes (clean + flipped-input, un-flipped map), raw-min
-        # combined; preds come from the clean view. The same key serves
-        # both views when SmoothGrad is on — the views are independent
-        # programs, identical noise just makes the pair comparison tighter.
+    if tta_shift < 0:
+        raise ValueError(
+            f"critic_saliency: tta_shift must be >= 0, got {tta_shift}")
+    if tta_flip or tta_shift:
+        # one full pass per view (clean [, mirrored] [, ±tta_shift px
+        # horizontal]), each map transformed back, raw-min combined; preds
+        # come from the clean view. The same key serves every view when
+        # SmoothGrad is on — the views are independent programs, identical
+        # noise just makes the comparison tighter. Shift views exclude
+        # their un-shiftable border columns from the min (set +inf — with
+        # the clean view always present the combined map stays finite);
+        # vertical shifts measured NEGATIVE (trunks are vertical — v-views
+        # add no independent error, they only erode true support:
+        # flip+v 0.542 vs flip 0.554) and are deliberately not offered.
         kw = dict(
             smooth_sigma=smooth_sigma, logits=logits, samples=samples,
             noise=noise, key=key, method=method, cam_block=cam_block,
-            cam_upsample=cam_upsample, tta_flip=False,
+            cam_upsample=cam_upsample, tta_flip=False, tta_shift=0,
         )
         preds, sal = critic_saliency(critic_params, x, **kw)
-        _, sal_f = critic_saliency(critic_params, x[:, :, ::-1], **kw)
-        return preds, jnp.minimum(sal, sal_f[:, :, ::-1])
+        if tta_flip:
+            _, sal_f = critic_saliency(critic_params, x[:, :, ::-1], **kw)
+            sal = jnp.minimum(sal, sal_f[:, :, ::-1])
+        for dx in ((tta_shift, -tta_shift) if tta_shift else ()):
+            _, m = critic_saliency(
+                critic_params, jnp.roll(x, dx, axis=2), **kw)
+            m = jnp.roll(m, -dx, axis=2)
+            cols = jnp.arange(m.shape[2])
+            invalid = (cols < dx) if dx > 0 else (cols >= m.shape[2] + dx)
+            m = jnp.where(invalid[None, None, :], jnp.inf, m)
+            sal = jnp.minimum(sal, m)
+        return preds, sal
 
     if method == "gradient":
         def score(xb):

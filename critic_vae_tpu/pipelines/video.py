@@ -139,7 +139,7 @@ def episode_device_stage(
 
     sal = dict(logits=False, samples=1, noise=0.0, seed=0, sigma=None,
                method="gradient", cam_block=1, cam_upsample="lanczos3",
-               tta_flip=False)
+               tta_flip=False, tta_shift=0)
     if saliency_opts:
         unknown = set(saliency_opts) - set(sal)
         if unknown:
@@ -181,6 +181,7 @@ def episode_device_stage(
             saliency_method=sal["method"], saliency_cam_block=sal["cam_block"],
             saliency_cam_upsample=sal["cam_upsample"],
             saliency_tta_flip=sal["tta_flip"],
+            saliency_tta_shift=sal["tta_shift"],
             saliency_seed=(
                 np.uint32(sal["seed"] + i // batch_size) if sal_sampling
                 else None

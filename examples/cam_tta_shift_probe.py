@@ -1,0 +1,135 @@
+"""Does translate-TTA stack on flip-TTA for LayerCAM masks? (round 4)
+
+Flip-TTA's raw-min combine bought +0.03 thr-IoU (examples/cam_tta_probe.py)
+because the critic is not flip-equivariant. It is not translation-
+equivariant either (three 2×2 max-pools lock phase), so ±2px shifted
+views carry more partly-independent error — IF min-combining them prunes
+false support faster than it erodes true support (each extra view can
+only shrink the map; flip-TTA's combiner grid showed per-view error is
+asymmetric, which is what min exploits).
+
+Views are label-preserving on this distribution (trunks are full-height
+vertical structures; shifts of ±2px move the scene, and each view's map
+is shifted BACK before combining, with edge columns/rows excluded from
+the min — un-shiftable pixels would otherwise zero the border). Vertical
+flip is NOT probed: it inverts the sky/ground prior the critic learned.
+
+Grid: {flip} × {none, ±2h, ±2v, ±2h∧±2v} min-combined, seed 9999; the
+best stack re-evaluated on seeds 4242/777 vs flip-TTA's 0.554/0.552/0.559.
+
+Run: python examples/cam_tta_shift_probe.py [out.json]   (forces CPU)
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(out_path="/tmp/cam_tta_shift.json"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from critic_vae_tpu.data.synthetic import generate_frames
+    from critic_vae_tpu.models.critic import load_critic
+    from critic_vae_tpu.ops.iou import iou
+    from critic_vae_tpu.ops.saliency import critic_saliency
+
+    critic = load_critic(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "saved-networks", "critic-synthetic.npz"))
+
+    def maps(frames_u8):
+        x = jnp.asarray(frames_u8.astype(np.float32) / 255.0)
+        f = jax.jit(lambda xb: critic_saliency(
+            critic, xb, method="layercam", cam_block=1)[1])
+        return np.concatenate([np.asarray(f(x[i:i + 128]))
+                               for i in range(0, len(x), 128)])
+
+    def best_of_maps(sal, gt_b):
+        mm = sal.max(axis=(1, 2)).mean()
+        u8 = np.clip(sal / max(mm, 1e-12) * 255.0, 0, 255).astype(np.uint8)
+        return max(iou(gt_b, u8 > t) for t in range(0, 254, 2))
+
+    def shifted_map(frames_u8, dy, dx, flip=False):
+        """Map of the (dy, dx)-shifted (and optionally mirrored) frames,
+        shifted back; un-shiftable border marked +inf so it never wins a
+        min (excluded from pruning rather than zeroing the border)."""
+        fr = frames_u8[:, :, ::-1] if flip else frames_u8
+        fr = np.roll(fr, (dy, dx), axis=(1, 2))
+        m = maps(fr)
+        m = np.roll(m, (-dy, -dx), axis=(1, 2))
+        if flip:
+            m = m[:, :, ::-1]
+        out = m.astype(np.float64)
+        if dy > 0:
+            out[:, :dy] = np.inf
+        elif dy < 0:
+            out[:, dy:] = np.inf
+        if dx > 0:
+            out[:, :, :dx] = np.inf
+        elif dx < 0:
+            out[:, :, dx:] = np.inf
+        return out
+
+    def combine(views):
+        m = np.minimum.reduce(views)
+        # any pixel where EVERY view was border-invalid (can't happen at
+        # |d|<=2 with the identity view present, but keep it safe)
+        return np.where(np.isfinite(m), m, 0.0).astype(np.float32)
+
+    D = 2
+    view_sets = {
+        "flip_only": [(0, 0, False), (0, 0, True)],
+        "flip+h": [(0, 0, False), (0, 0, True), (0, D, False), (0, -D, False)],
+        "flip+v": [(0, 0, False), (0, 0, True), (D, 0, False), (-D, 0, False)],
+        "flip+hv": [(0, 0, False), (0, 0, True),
+                    (0, D, False), (0, -D, False),
+                    (D, 0, False), (-D, 0, False)],
+        "h_only": [(0, 0, False), (0, D, False), (0, -D, False)],
+    }
+
+    res = {}
+    frames, gt = generate_frames(550, seed=9999)
+    base = {(0, 0, False): shifted_map(frames, 0, 0)}
+    res["seed9999"] = {"cam_alone": best_of_maps(
+        combine([base[(0, 0, False)]]), gt)}
+    cache = dict(base)
+    for name, views in view_sets.items():
+        for v in views:
+            if v not in cache:
+                cache[v] = shifted_map(frames, v[0], v[1], v[2])
+        res["seed9999"][name] = best_of_maps(
+            combine([cache[v] for v in views]), gt)
+        print(f"seed9999 {name}: {res['seed9999'][name]}", flush=True)
+
+    stacks = {k: v for k, v in res["seed9999"].items()
+              if k not in ("cam_alone", "flip_only")}
+    best_name = max(stacks, key=stacks.get)
+    res["best_stack"] = best_name
+    if stacks[best_name] > res["seed9999"]["flip_only"]:
+        for seed in (4242, 777):
+            f2, g2 = generate_frames(550, seed=seed)
+            views = view_sets[best_name]
+            vs = [shifted_map(f2, *v) for v in views]
+            flip_vs = [shifted_map(f2, *v) for v in view_sets["flip_only"]]
+            res[f"seed{seed}"] = {
+                "flip_only": best_of_maps(combine(flip_vs), g2),
+                best_name: best_of_maps(combine(vs), g2),
+            }
+            print(f"seed{seed}:", json.dumps(res[f"seed{seed}"]), flush=True)
+    else:
+        res["note"] = "no stack beat flip_only on seed 9999 — negative"
+
+    with open(out_path, "w") as f:
+        json.dump(res, f, indent=2)
+    print(json.dumps(res, indent=2))
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

@@ -235,6 +235,35 @@ def test_tta_flip_is_min_of_both_views(critic, frames):
                                    atol=1e-6)
 
 
+def test_tta_shift_is_min_of_views_with_border_excluded(critic, frames):
+    """tta_shift must min-combine the un-shifted maps of the ±D-px
+    rolled frames with the clean (and flipped, when on) views, excluding
+    each shift view's un-shiftable border columns from the min — the
+    measured flip+h stack (docs/artifacts/cam_tta_shift.json)."""
+    x = jnp.asarray(frames)
+    D = 2
+    preds, sal = critic_saliency(critic, x, method="layercam",
+                                 tta_flip=True, tta_shift=D)
+    p0, s0 = critic_saliency(critic, x, method="layercam")
+    _, sf = critic_saliency(critic, x[:, :, ::-1], method="layercam")
+    expect = np.minimum(np.asarray(s0), np.asarray(sf)[:, :, ::-1])
+    for dx in (D, -D):
+        _, m = critic_saliency(critic, jnp.roll(x, dx, axis=2),
+                               method="layercam")
+        m = np.roll(np.asarray(m), -dx, axis=2).astype(np.float64)
+        if dx > 0:
+            m[:, :, :dx] = np.inf
+        else:
+            m[:, :, dx:] = np.inf
+        expect = np.minimum(expect, m)
+    np.testing.assert_allclose(np.asarray(sal), expect.astype(np.float32),
+                               atol=1e-6)
+    assert np.all(np.isfinite(np.asarray(sal)))
+    np.testing.assert_allclose(np.asarray(preds), np.asarray(p0), atol=1e-6)
+    with pytest.raises(ValueError, match="tta_shift"):
+        critic_saliency(critic, x, tta_shift=-1)
+
+
 def test_tta_flip_through_pipeline(critic, frames):
     """--saliency-tta-flip plumbing: episode_forward and the video stage
     produce the TTA map."""
