@@ -252,11 +252,12 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument(
         "--saliency-tta-shift", type=int, default=0, metavar="D",
         help="saliency: also min-combine the un-shifted maps of the +-D-px "
-        "horizontally shifted frames (composes with --saliency-tta-flip; "
-        "measured best stack: flip + D=2 -> thr-IoU 0.570/0.568/0.575 "
-        "across seeds at 4x the saliency-stage cost; vertical shifts "
-        "measured negative and are not offered — "
-        "docs/artifacts/cam_tta_shift.json)",
+        "horizontally shifted views (composes with --saliency-tta-flip as "
+        "the full {id,mirror}x{0,+-D} product; measured best stack: flip + "
+        "D=2, 6 views -> thr-IoU 0.586/0.579/0.587 and CRF IoU "
+        "0.842/0.829/0.845 across seeds at -41%% stage throughput; +-1 "
+        "adds nothing, +-4 erodes, vertical shifts measured negative and "
+        "are not offered — docs/artifacts/cam_tta_shift*.json)",
     )
     v.add_argument("--no-gif", action="store_true")
     v.add_argument(

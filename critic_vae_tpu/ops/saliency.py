@@ -171,16 +171,20 @@ def critic_saliency(
         clean-view probabilities. Unmeasured for ``method="gradient"``
         (mechanically supported).
       tta_shift: also min-combine the un-shifted maps of the ±tta_shift-px
-        horizontally shifted frames (the three max-pools lock phase, so
+        horizontally shifted views (the three max-pools lock phase, so
         the critic is not translation-equivariant either; each view's
         un-shiftable border columns are excluded from the min). Composes
-        with ``tta_flip``: the measured best stack is
-        ``tta_flip=True, tta_shift=2`` (4 views; measured on-chip cost
-        only −23% stage throughput, 352k → 271k f/s at B=512 — the extra
-        VJP passes are cheap next to the stage's fixed costs) — thr-IoU
-        **0.570/0.568/0.575** across seeds vs flip-only 0.554/0.552/0.559
-        and cam-alone 0.524/0.522/0.526, CRF headline 0.820/0.824/0.822;
-        vertical shifts measured negative and are not offered
+        with ``tta_flip`` as the full **{id, mirror} × {0, ±shift}**
+        product (measured strictly better than shifting only the clean
+        view: 0.586 vs 0.570 on seed 9999). The measured best stack is
+        ``tta_flip=True, tta_shift=2`` (6 views; on-chip cost −41% stage
+        throughput, 364k → 214k f/s at B=512 — the extra VJP passes are
+        cheap next to the stage's fixed costs): pipeline thr-IoU
+        **0.586/0.579/0.587** across seeds vs flip-only 0.554/0.552/0.559
+        and cam-alone 0.524/0.522/0.526, CAM-tuned CRF headline
+        **0.842/0.829/0.845**. The view family is a measured plateau
+        (±1 px adds nothing, ±4 erodes); vertical shifts measured
+        negative and are not offered
         (examples/cam_tta_shift*_probe.py, docs/artifacts/cam_tta_*.json).
 
     Returns:
@@ -218,33 +222,52 @@ def critic_saliency(
         raise ValueError(
             f"critic_saliency: tta_shift must be >= 0, got {tta_shift}")
     if tta_flip or tta_shift:
-        # one full pass per view (clean [, mirrored] [, ±tta_shift px
-        # horizontal]), each map transformed back, raw-min combined; preds
-        # come from the clean view. The same key serves every view when
-        # SmoothGrad is on — the views are independent programs, identical
-        # noise just makes the comparison tighter. Shift views exclude
-        # their un-shiftable border columns from the min (set +inf — with
-        # the clean view always present the combined map stays finite);
-        # vertical shifts measured NEGATIVE (trunks are vertical — v-views
-        # add no independent error, they only erode true support:
-        # flip+v 0.542 vs flip 0.554) and are deliberately not offered.
+        # one full pass per view over the PRODUCT {id, mirror} ×
+        # {0, ±tta_shift px horizontal} — the product views measured
+        # strictly better than flip-then-shift-of-clean (seed 9999: 6-view
+        # product 0.586 vs 4-view 0.570) — each map transformed back and
+        # raw-min combined; preds come from the clean view. The same key
+        # serves every view when SmoothGrad is on (independent programs;
+        # identical noise just makes the comparison tighter). Shifted
+        # views exclude their un-shiftable border columns from the min
+        # (set +inf — the clean view is always present so the combined
+        # map stays finite); vertical shifts measured NEGATIVE (trunks
+        # are vertical — v-views add no independent error, they only
+        # erode true support: flip+v 0.542 vs flip 0.554) and are
+        # deliberately not offered.
         kw = dict(
             smooth_sigma=smooth_sigma, logits=logits, samples=samples,
             noise=noise, key=key, method=method, cam_block=cam_block,
             cam_upsample=cam_upsample, tta_flip=False, tta_shift=0,
         )
         preds, sal = critic_saliency(critic_params, x, **kw)
-        if tta_flip:
-            _, sal_f = critic_saliency(critic_params, x[:, :, ::-1], **kw)
-            sal = jnp.minimum(sal, sal_f[:, :, ::-1])
-        for dx in ((tta_shift, -tta_shift) if tta_shift else ()):
-            _, m = critic_saliency(
-                critic_params, jnp.roll(x, dx, axis=2), **kw)
-            m = jnp.roll(m, -dx, axis=2)
-            cols = jnp.arange(m.shape[2])
-            invalid = (cols < dx) if dx > 0 else (cols >= m.shape[2] + dx)
-            m = jnp.where(invalid[None, None, :], jnp.inf, m)
-            sal = jnp.minimum(sal, m)
+        shifts = (0, tta_shift, -tta_shift) if tta_shift else (0,)
+        flips = (False, True) if tta_flip else (False,)
+        for flip in flips:
+            for dx in shifts:
+                if not flip and dx == 0:
+                    continue  # the clean view above
+                xv = x[:, :, ::-1] if flip else x
+                _, m = critic_saliency(
+                    critic_params,
+                    jnp.roll(xv, dx, axis=2) if dx else xv, **kw)
+                if dx:
+                    m = jnp.roll(m, -dx, axis=2)
+                if flip:
+                    m = m[:, :, ::-1]
+                    # the border invalidation below happens in UN-flipped
+                    # coordinates: a +dx roll of the mirrored frames wraps
+                    # the columns that sit at the RIGHT edge after
+                    # un-flipping
+                    dx = -dx
+                if dx:
+                    cols = jnp.arange(m.shape[2])
+                    invalid = (
+                        (cols < dx) if dx > 0
+                        else (cols >= m.shape[2] + dx)
+                    )
+                    m = jnp.where(invalid[None, None, :], jnp.inf, m)
+                sal = jnp.minimum(sal, m)
         return preds, sal
 
     if method == "gradient":

@@ -14,8 +14,14 @@ is shifted BACK before combining, with edge columns/rows excluded from
 the min — un-shiftable pixels would otherwise zero the border). Vertical
 flip is NOT probed: it inverts the sky/ground prior the critic learned.
 
-Grid: {flip} × {none, ±2h, ±2v, ±2h∧±2v} min-combined, seed 9999; the
-best stack re-evaluated on seeds 4242/777 vs flip-TTA's 0.554/0.552/0.559.
+Grid: {flip} × {none, ±2h, ±2v, ±2h∧±2v} plus the full {id, mirror} ×
+{0, ±D} products, min-combined, seed 9999; the best stack re-evaluated
+on seeds 4242/777 vs flip-TTA's 0.554/0.552/0.559. NOTE: for mirrored
+shifted views this probe masks the border columns on the pre-unflip side
+(a 2-column detail — the ±pair covers both edges either way); the
+shipped implementation (ops/saliency.py) masks in un-flipped
+coordinates, and the pipeline-level numbers quoted in docs/RESULTS.md
+are re-measured on the shipped path (examples/cam_tta_shift_crf_probe.py).
 
 Run: python examples/cam_tta_shift_probe.py [out.json]   (forces CPU)
 """
@@ -92,6 +98,15 @@ def main(out_path="/tmp/cam_tta_shift.json"):
                     (0, D, False), (0, -D, False),
                     (D, 0, False), (-D, 0, False)],
         "h_only": [(0, 0, False), (0, D, False), (0, -D, False)],
+        # the full {id, mirror} x {0, ±D} product — what the shipped
+        # tta_flip+tta_shift composition computes (measured best: the
+        # flipped-shifted views add error-independence the 4-view stack
+        # lacks); ±1 adds nothing (0.587), ±4 erodes (0.575)
+        "prod_d2": [(0, d, f) for f in (False, True) for d in (0, D, -D)],
+        "prod_d12": [(0, d, f) for f in (False, True)
+                     for d in (0, 1, -1, D, -D)],
+        "prod_d24": [(0, d, f) for f in (False, True)
+                     for d in (0, D, -D, 2 * D, -2 * D)],
     }
 
     res = {}

@@ -235,27 +235,36 @@ def test_tta_flip_is_min_of_both_views(critic, frames):
                                    atol=1e-6)
 
 
-def test_tta_shift_is_min_of_views_with_border_excluded(critic, frames):
-    """tta_shift must min-combine the un-shifted maps of the ±D-px
-    rolled frames with the clean (and flipped, when on) views, excluding
-    each shift view's un-shiftable border columns from the min — the
-    measured flip+h stack (docs/artifacts/cam_tta_shift.json)."""
+def test_tta_shift_is_min_of_product_views_with_border_excluded(critic, frames):
+    """tta_flip+tta_shift must min-combine the full {id, mirror} ×
+    {0, ±D px} product of views (6 maps — measured better than
+    flip-then-shift-of-clean, docs/artifacts/cam_tta_shift_crf.json),
+    each transformed back to original coordinates with its un-shiftable
+    border columns excluded from the min."""
     x = jnp.asarray(frames)
     D = 2
     preds, sal = critic_saliency(critic, x, method="layercam",
                                  tta_flip=True, tta_shift=D)
     p0, s0 = critic_saliency(critic, x, method="layercam")
-    _, sf = critic_saliency(critic, x[:, :, ::-1], method="layercam")
-    expect = np.minimum(np.asarray(s0), np.asarray(sf)[:, :, ::-1])
-    for dx in (D, -D):
-        _, m = critic_saliency(critic, jnp.roll(x, dx, axis=2),
-                               method="layercam")
-        m = np.roll(np.asarray(m), -dx, axis=2).astype(np.float64)
-        if dx > 0:
-            m[:, :, :dx] = np.inf
-        else:
-            m[:, :, dx:] = np.inf
-        expect = np.minimum(expect, m)
+    expect = np.asarray(s0).astype(np.float64)
+    W = x.shape[2]
+    for flip in (False, True):
+        for dx in (0, D, -D):
+            if not flip and dx == 0:
+                continue
+            xv = np.asarray(frames)[:, :, ::-1] if flip else np.asarray(frames)
+            _, m = critic_saliency(
+                critic, jnp.asarray(np.roll(xv, dx, axis=2)),
+                method="layercam")
+            m = np.roll(np.asarray(m), -dx, axis=2).astype(np.float64)
+            if flip:
+                m = m[:, :, ::-1]
+                dx = -dx
+            if dx > 0:
+                m[:, :, :dx] = np.inf
+            elif dx < 0:
+                m[:, :, dx:] = np.inf
+            expect = np.minimum(expect, m)
     np.testing.assert_allclose(np.asarray(sal), expect.astype(np.float32),
                                atol=1e-6)
     assert np.all(np.isfinite(np.asarray(sal)))
