@@ -100,31 +100,41 @@ def main(out_dir="/tmp/cvt-fullstack"):
     dev_crf = refine_masks_device(ep_frames, result.thr_masks)
     print(f"    crf_iou(device-exact)={iou_fn(ep_gt, dev_crf)}")
 
-    # beyond-reference contrast: the LayerCAM saliency mask source asks the
-    # fresh critic directly where its evidence is — no VAE in the mask path
-    # (ops/saliency.py; measured ~5x the diff method's IoU on synthetic)
+    # beyond-reference contrast: the LayerCAM saliency mask source asks a
+    # critic directly where its evidence is — no VAE in the mask path
+    # (ops/saliency.py). NOT the fresh critic above: CAM quality is
+    # critic-INSTANCE-dependent in a way prediction accuracy does not
+    # reveal (this very script's fresh critic classifies at 1.000 holdout
+    # accuracy yet its LayerCAM localization is degenerate — 0.1 thr /
+    # 0.007 CRF when it was demoed here, the same failure the round-4
+    # distill run hit; docs/RESULTS.md "mask self-distillation"). The
+    # bundled critic-synthetic.npz is the golden-pinned CAM-validated
+    # instance every saliency number is measured with.
+    from critic_vae_tpu.models.critic import load_critic
     from critic_vae_tpu.pipelines.video import threshold_sweep
 
+    cam_critic = load_critic(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "saved-networks", "critic-synthetic.npz"))
+    sal = {"method": "layercam", "tta_flip": True, "tta_shift": 2}
     sweep = threshold_sweep(
-        params, bn, critic_params, ep_frames, ep_gt,
+        params, bn, cam_critic, ep_frames, ep_gt,
         thresholds=list(range(60, 161, 20)), run_crf=False,
-        mask_source="saliency",
-        saliency_opts={"method": "layercam"}, batch_size=512,
+        mask_source="saliency", saliency_opts=sal, batch_size=512,
     )
     best = max(sweep, key=lambda r: r["thr_iou"])
-    print(f"    layercam thr_iou={best['thr_iou']} @thr={best['threshold']} "
-          f"(vs diff {result.thr_iou})")
+    print(f"    layercam+TTA thr_iou={best['thr_iou']} "
+          f"@thr={best['threshold']} (vs diff {result.thr_iou})")
     cam = eval_episode(
-        params, bn, critic_params, ep_frames, ep_gt,
+        params, bn, cam_critic, ep_frames, ep_gt,
         threshold=best["threshold"], run_crf=False, with_recons=False,
-        mask_source="saliency", saliency_opts={"method": "layercam"},
-        batch_size=512,
+        mask_source="saliency", saliency_opts=sal, batch_size=512,
     )
     # CAM masks want a ~6x stronger bilateral term than the reference
     # CRF tuple (docs/RESULTS.md "Re-tuning the CRF for CAM masks")
     cam_crf = refine_masks_device(
         ep_frames, cam.thr_masks, (132.0, 32.0, 3.1, 8.0, 1.8, 10))
-    print(f"    layercam + tuned CRF iou={iou_fn(ep_gt, cam_crf)} "
+    print(f"    layercam+TTA + tuned CRF iou={iou_fn(ep_gt, cam_crf)} "
           f"(vs diff+CRF {result.crf_iou})")
     diag = bin_diagnostics(result.preds, ep_gt, result.thr_masks)
     write_bin_info(diag, os.path.join(out_dir, "bin_info_vae1.txt"), len(ep_frames))
