@@ -142,6 +142,19 @@ def build_parser() -> argparse.ArgumentParser:
         "SmoothGrad-logit saliency optimum is ~122, docs/artifacts/"
         "saliency.json)",
     )
+    v.add_argument(
+        "--quality", action="store_true",
+        help="apply the measured-best mask chain in one flag: "
+        "--mask-source saliency --saliency-method layercam "
+        "--saliency-tta-flip --saliency-tta-shift 2 "
+        "--crf-params 132,32,3.1,8,1.8,10 --threshold 64 "
+        "(LayerCAM + {id,mirror}x{0,+-2px} TTA + CAM-tuned CRF — CRF IoU "
+        "0.83-0.85 across episode seeds vs ~0.11 for the faithful "
+        "recon-diff default, docs/artifacts/cam_tta_border_fix.json). "
+        "Any of those flags passed explicitly (non-default) wins over "
+        "the preset; the faithful reference chain stays the default "
+        "without --quality",
+    )
     v.add_argument("--sweep", action="store_true", help="threshold sweep 0..120 (reference: -thresh)")
     v.add_argument(
         "--sweep-range", default=None, metavar="LO:HI[:STEP]",
@@ -254,8 +267,8 @@ def build_parser() -> argparse.ArgumentParser:
         help="saliency: also min-combine the un-shifted maps of the +-D-px "
         "horizontally shifted views (composes with --saliency-tta-flip as "
         "the full {id,mirror}x{0,+-D} product; measured best stack: flip + "
-        "D=2, 6 views -> thr-IoU 0.586/0.579/0.587 and CRF IoU "
-        "0.842/0.829/0.845 across seeds at -41%% stage throughput; +-1 "
+        "D=2, 6 views -> thr-IoU 0.582/0.576/0.584 and CRF IoU "
+        "0.841/0.828/0.844 across seeds at -41%% stage throughput; +-1 "
         "adds nothing, +-4 erodes, vertical shifts measured negative and "
         "are not offered — docs/artifacts/cam_tta_shift*.json)",
     )
@@ -470,8 +483,39 @@ def cmd_evalsecond(args) -> int:
     return _run_eval(args, second=True, inject=False)
 
 
+_QUALITY_PRESET = {
+    # the measured-best chain (docs/artifacts/cam_tta_border_fix.json);
+    # keys are argparse dests, values are (parser_default, preset_value)
+    "mask_source": ("diff", "saliency"),
+    "saliency_method": ("gradient", "layercam"),
+    "saliency_tta_flip": (False, True),
+    "saliency_tta_shift": (0, 2),
+    "crf_params": (None, "132,32,3.1,8,1.8,10"),
+    "threshold": (50, 64),
+}
+
+
+def _apply_quality_preset(args) -> None:
+    """Expand ``--quality`` into the measured-best chain's flags.
+
+    A flag the user set explicitly (i.e. whose parsed value differs from
+    the parser default) wins over the preset — so e.g.
+    ``--quality --saliency-tta-shift 3`` runs the preset with a wider
+    shift radius. Passing a preset flag AT its default value is
+    indistinguishable from omitting it and gets overridden; the
+    composition is documented in the --quality help text.
+    """
+    for dest, (default, preset) in _QUALITY_PRESET.items():
+        if dest == "crf_params" and args.crf_search is not None:
+            continue  # the search finds its own params; don't pre-pin them
+        if getattr(args, dest) == default:
+            setattr(args, dest, preset)
+
+
 def cmd_video(args) -> int:
     cfg = _cfg(args)
+    if args.quality:
+        _apply_quality_preset(args)
     # parse BEFORE any weight loading / device work — fail fast on a typo
     if args.sweep_range is not None:
         args.sweep = True
@@ -556,7 +600,6 @@ def cmd_video(args) -> int:
         try:
             resolved_backend = resolve_crf_backend(
                 args.crf_backend, frames.shape[1], frames.shape[2],
-                sweep=args.sweep,
             )
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)

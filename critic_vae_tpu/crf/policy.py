@@ -33,7 +33,6 @@ def resolve_crf_backend(
     h: int,
     w: int,
     *,
-    sweep: bool = False,
     backend_platform: str | None = None,
     process_count: int | None = None,
 ) -> str:

@@ -27,6 +27,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from critic_vae_tpu.models import critic as critic_mod
 from critic_vae_tpu.models import vae as vae_mod
@@ -145,6 +146,34 @@ def threshold_masks(diff_u8: jnp.ndarray, thresholds: jnp.ndarray) -> jnp.ndarra
     )
 
 
+def pack_mask_bits(masks: jnp.ndarray) -> jnp.ndarray:
+    """Pack boolean masks to 1 bit/pixel along the last axis (device op).
+
+    (..., W) bool → (..., W//8) uint8, MSB-first within each byte —
+    ``np.unpackbits(packed, axis=-1)`` is the exact host inverse
+    (:func:`unpack_mask_bits`). Boolean mask fetches through this mount's
+    ~13 MB/s device→host tunnel are a top cost of the CRF-enabled video
+    pipeline (VERDICT r4 #2); packing cuts their bytes 8× for a few cheap
+    VPU ops. Requires W % 8 == 0 (every supported episode resolution —
+    callers fall back to plain fetches otherwise).
+    """
+    if masks.shape[-1] % 8:
+        raise ValueError(
+            f"pack_mask_bits: last axis {masks.shape[-1]} not a multiple of 8"
+        )
+    b = masks.reshape(*masks.shape[:-1], masks.shape[-1] // 8, 8)
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    # per-byte sum of ≤8 one-hot-weighted bits — cannot exceed 255, so the
+    # uint8 accumulation is exact
+    return (b.astype(jnp.uint8) * weights).sum(-1).astype(jnp.uint8)
+
+
+def unpack_mask_bits(packed: np.ndarray) -> np.ndarray:
+    """Host inverse of :func:`pack_mask_bits`: (..., W//8) uint8 → (..., W)
+    bool via numpy's MSB-first unpackbits."""
+    return np.unpackbits(np.asarray(packed), axis=-1).astype(bool)
+
+
 def iou_stacked(gt: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
     """Whole-stack IoU per threshold: gt (B,H,W) bool × masks (T,B,H,W) →
     (T,) float (0/0 → 1.0, reference semantics vae_utility.py:56-68)."""
@@ -205,8 +234,10 @@ def episode_forward(
         traffic on this memory-bound pipeline).
       fused_pool: route the critic's and encoder's conv+pool blocks through
         the phase-packed stride-2 formulation (ops/poolconv.py) — exact up
-        to GEMM-order reassociation; serving-path throughput optimization
-        (bench.py runs with it on).
+        to GEMM-order reassociation; measured NEGATIVE on the real chip
+        (round-4 probes), kept as a validated opt-in. The shipping serving
+        optimization is the merged front-end via ``front_end="auto"``
+        (bench.py uses that default).
       mask_source: "diff" (faithful default — VAE recon difference,
         vae_utility.py:171-184) or "saliency" (critic input-gradient maps,
         ops/saliency.py — measured ~2.4× the diff method's IoU on the
@@ -266,6 +297,13 @@ def episode_forward(
             "front_end='merged' fuses the critic/encoder first convs on the "
             "diff mask path; the saliency source differentiates through the "
             "whole critic and has no split first conv to merge"
+        )
+    if block0_f32 and mask_source != "diff":
+        raise ValueError(
+            "block0_f32 applies to the diff path's first conv blocks; the "
+            "saliency stage already runs in float32 end-to-end "
+            "(ops/saliency.py) — combining them would only silently run "
+            "the with_recons VAE decode in f32 instead of compute_dtype"
         )
     if frames.dtype == jnp.uint8:
         frames = frames.astype(jnp.float32) / 255.0

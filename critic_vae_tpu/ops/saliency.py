@@ -180,9 +180,11 @@ def critic_saliency(
         ``tta_flip=True, tta_shift=2`` (6 views; on-chip cost −41% stage
         throughput, 364k → 214k f/s at B=512 — the extra VJP passes are
         cheap next to the stage's fixed costs): pipeline thr-IoU
-        **0.586/0.579/0.587** across seeds vs flip-only 0.554/0.552/0.559
+        **0.582/0.576/0.584** across seeds vs flip-only 0.554/0.552/0.559
         and cam-alone 0.524/0.522/0.526, CAM-tuned CRF headline
-        **0.842/0.829/0.845**. The view family is a measured plateau
+        **0.841/0.828/0.844** (post border-exclusion fix,
+        docs/artifacts/cam_tta_border_fix.json; the round-4 inverted-border
+        numbers were ~0.003 higher). The view family is a measured plateau
         (±1 px adds nothing, ±4 erodes); vertical shifts measured
         negative and are not offered
         (examples/cam_tta_shift*_probe.py, docs/artifacts/cam_tta_*.json).
@@ -256,15 +258,23 @@ def critic_saliency(
                 if flip:
                     m = m[:, :, ::-1]
                     # the border invalidation below happens in UN-flipped
-                    # coordinates: a +dx roll of the mirrored frames wraps
-                    # the columns that sit at the RIGHT edge after
-                    # un-flipping
+                    # coordinates: negating dx maps the mirrored view's
+                    # contaminated edge onto the correct original edge
                     dx = -dx
                 if dx:
+                    # a +dx roll re-places the frame's RIGHT-edge columns
+                    # (x cols W-dx..W-1) at the view's entering left edge,
+                    # where the critic sees them in a foreign context; after
+                    # the -dx roll-back those contaminated map values land
+                    # back on cols >= W-dx (mirror-image for dx < 0).
+                    # Through round 4 the predicates were inverted (the
+                    # CLEAN edge was excluded and the wrapped one kept) —
+                    # ADVICE r4 medium; post-fix chain numbers:
+                    # docs/artifacts/cam_tta_border_fix.json.
                     cols = jnp.arange(m.shape[2])
                     invalid = (
-                        (cols < dx) if dx > 0
-                        else (cols >= m.shape[2] + dx)
+                        (cols >= m.shape[2] - dx) if dx > 0
+                        else (cols < -dx)
                     )
                     m = jnp.where(invalid[None, None, :], jnp.inf, m)
                 sal = jnp.minimum(sal, m)

@@ -117,6 +117,46 @@ def test_full_mode_matrix(workspace):
     assert os.path.exists(os.path.join(workspace, "images2/image-000.png"))
 
 
+def test_quality_preset_expansion():
+    """--quality expands to the measured-best chain; explicit non-default
+    flags win; --crf-search suppresses the params pin (VERDICT r4 #6)."""
+    from critic_vae_tpu.cli import _apply_quality_preset, build_parser
+
+    p = build_parser()
+    args = p.parse_args(["video", "--quality"])
+    _apply_quality_preset(args)
+    assert args.mask_source == "saliency"
+    assert args.saliency_method == "layercam"
+    assert args.saliency_tta_flip and args.saliency_tta_shift == 2
+    assert args.crf_params == "132,32,3.1,8,1.8,10"
+    assert args.threshold == 64
+
+    # explicit flags override the preset
+    args = p.parse_args(["video", "--quality", "--saliency-tta-shift", "3",
+                         "--threshold", "80"])
+    _apply_quality_preset(args)
+    assert args.saliency_tta_shift == 3 and args.threshold == 80
+    assert args.mask_source == "saliency"  # rest of the preset intact
+
+    # --crf-search keeps searching instead of pinning the tuned params
+    args = p.parse_args(["video", "--quality", "--crf-search"])
+    _apply_quality_preset(args)
+    assert args.crf_params is None
+
+
+def test_quality_preset_end_to_end(workspace, tmp_path):
+    """video --quality runs the full preset chain on a tiny episode."""
+    critic = os.path.join(workspace, "saved-networks", os.path.basename(CRITIC_PT))
+    root = str(tmp_path)
+    base = ["--root", root, "--critic", critic]
+    _run(["train", *base, "--source", "synthetic:1:32", "--epochs", "1",
+          "--batch-size", "8", "--total-images", "32", "--no-resume"])
+    _run(["video", *base,
+          "--episode", os.path.join(workspace, "minerl-episode"),
+          "--batch-size", "8", "--no-slice", "--no-gif", "--quality"])
+    assert os.path.exists(os.path.join(root, "bin_info_vae1.txt"))
+
+
 def test_unknown_mode_fails():
     with pytest.raises(SystemExit):
         main(["definitely-not-a-mode"])

@@ -260,10 +260,14 @@ def test_tta_shift_is_min_of_product_views_with_border_excluded(critic, frames):
             if flip:
                 m = m[:, :, ::-1]
                 dx = -dx
+            # a +dx roll wraps the frame's right-edge columns into the
+            # view's entering left edge; after roll-back those contaminated
+            # values sit at cols >= W-dx (the round-4 code excluded the
+            # clean opposite edge — ADVICE r4 medium)
             if dx > 0:
-                m[:, :, :dx] = np.inf
+                m[:, :, W - dx:] = np.inf
             elif dx < 0:
-                m[:, :, dx:] = np.inf
+                m[:, :, :-dx] = np.inf
             expect = np.minimum(expect, m)
     np.testing.assert_allclose(np.asarray(sal), expect.astype(np.float32),
                                atol=1e-6)
