@@ -322,6 +322,24 @@ def build_parser() -> argparse.ArgumentParser:
     tc.add_argument("--batch-size", type=int, default=128)
     tc.add_argument("--lr", type=float, default=1e-3)
     tc.add_argument("--dropout", type=float, default=0.3)
+    tc.add_argument(
+        "--labels", choices=("soft", "binary"), default="soft",
+        help="label target: 'soft' trunk-area fractions (default — the "
+        "CAM-robust recipe, train/critic.py::soft_trunk_labels; round-5 "
+        "finding: binary-label critics can hit 1.000 accuracy with "
+        "degenerate LayerCAM) or 'binary' visibility (the bundled "
+        "checkpoints' filename recipe, reference vae_parameters.py:38)")
+    tc.add_argument(
+        "--no-cam-health", action="store_true",
+        help="skip the post-training no-GT LayerCAM health report "
+        "(train/critic.py::critic_cam_health)")
+    tc.add_argument(
+        "--cam-select", type=int, default=1, metavar="N",
+        help="train N candidate critics (seeds seed..seed+N-1) and keep "
+        "the best by the no-GT deletion_drop health metric (CAM quality "
+        "varies strongly across identical runs — round-5 finding, "
+        "train/critic.py::train_critic_selected). N=1 (default) trains "
+        "one critic; N=4 is the validated CAM-grade recipe")
     tc.add_argument("--out", default=None, help="output critic .npz path")
 
     x = sub.add_parser(
@@ -831,19 +849,64 @@ def cmd_traincritic(args) -> int:
         from critic_vae_tpu.data.synthetic import generate_frames
 
         frames, gt = generate_frames(args.synthetic_frames, seed=args.seed)
-    labels = labels_from_masks(gt)
+    bin_labels = labels_from_masks(gt)
+    if args.labels == "soft":
+        from critic_vae_tpu.train.critic import soft_trunk_labels
+
+        labels = soft_trunk_labels(gt)
+    else:
+        labels = bin_labels
     if _primary():
-        print(f"training critic on {len(frames)} frames ({labels.mean():.0%} positive)...")
-    params, loss = train_critic(
-        frames, labels, epochs=args.epochs, batch_size=args.batch_size,
-        learning_rate=args.lr, dropout_rate=args.dropout, seed=args.seed,
-    )
-    acc = critic_accuracy(params, frames, labels)
+        print(f"training critic on {len(frames)} frames "
+              f"({bin_labels.mean():.0%} positive, {args.labels} labels"
+              + (f", best-of-{args.cam_select} by CAM health"
+                 if args.cam_select > 1 else "") + ")...")
+    health = None
+    if args.cam_select > 1:
+        from critic_vae_tpu.train.critic import train_critic_selected
+
+        params, health, reports = train_critic_selected(
+            frames, labels, candidates=args.cam_select,
+            base_seed=args.seed, epochs=args.epochs,
+            batch_size=args.batch_size, learning_rate=args.lr,
+            dropout_rate=args.dropout,
+        )
+        loss = next(r["final_loss"] for r in reports
+                    if r["seed"] == health["selected_seed"])
+    else:
+        params, loss = train_critic(
+            frames, labels, epochs=args.epochs, batch_size=args.batch_size,
+            learning_rate=args.lr, dropout_rate=args.dropout, seed=args.seed,
+        )
+    acc = critic_accuracy(params, frames, bin_labels)
+    if health is None and not args.no_cam_health:
+        from critic_vae_tpu.train.critic import critic_cam_health
+
+        health = critic_cam_health(params, frames)
     if _primary():  # multi-host: only the primary persists the weights
         out = args.out or str(cfg.paths.resolve("saved-networks/critic.npz"))
         os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
         save_critic(out, params)
         print(f"final loss={loss:.4f} train acc={acc:.3f}; saved {out}")
+        if health is not None:
+            from critic_vae_tpu.train.critic import (
+                CAM_HEALTH_MIN_DELETION_DROP,
+            )
+
+            print("cam health (no-GT, train/critic.py::critic_cam_health): "
+                  + " ".join(f"{k}={v:.4g}" for k, v in health.items()))
+            if health["deletion_drop"] < CAM_HEALTH_MIN_DELETION_DROP:
+                print(
+                    f"WARNING: deletion_drop "
+                    f"{health['deletion_drop']:.3f} < "
+                    f"{CAM_HEALTH_MIN_DELETION_DROP} — this critic's "
+                    f"LayerCAM localization looks DEGENERATE (accuracy "
+                    f"does not predict CAM quality; docs/RESULTS.md round "
+                    f"5). The saliency mask chain (`video --quality`, "
+                    f"mask distillation) will underperform with it; "
+                    f"retrain with --labels soft or another --seed.",
+                    file=sys.stderr,
+                )
     return 0
 
 

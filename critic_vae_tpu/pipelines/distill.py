@@ -87,20 +87,42 @@ def build_pseudo_masks(
     # them tests nothing. Warn loudly rather than guess a hard threshold.
     preds = np.asarray(host["preds"])[: len(thr_masks)]
     positive = preds > 0.5
+    warn_reasons = []
     if positive.any():
         empty = ~thr_masks[positive].any(axis=(1, 2))
         empty_rate = float(empty.mean())
         if empty_rate > 0.2:
-            import warnings
+            warn_reasons.append(
+                f"{empty_rate:.0%} of critic-positive frames have EMPTY "
+                f"pseudo-masks")
+    # round 5 (VERDICT r4 #1): the empty-mask symptom measured NOT
+    # discriminating at episode scale (docs/artifacts/cam_health.json) —
+    # the deletion_drop health metric is what actually separates healthy
+    # from degenerate CAM (0.42 vs 0.08), so gate on it here too.
+    from critic_vae_tpu.train.critic import (
+        CAM_HEALTH_MIN_DELETION_DROP,
+        critic_cam_health,
+    )
 
-            warnings.warn(
-                f"build_pseudo_masks: {empty_rate:.0%} of critic-positive "
-                f"frames have EMPTY pseudo-masks — the critic's LayerCAM "
-                f"localization looks degenerate (validate it against a "
-                f"labeled episode, e.g. the golden-pinned bundled "
-                f"critic-synthetic.npz, before distilling)",
-                stacklevel=2,
-            )
+    health = critic_cam_health(critic_params, frames_u8, cam_block=cam_block,
+                               threshold=threshold)
+    if health["deletion_drop"] < CAM_HEALTH_MIN_DELETION_DROP:
+        warn_reasons.append(
+            f"CAM deletion_drop {health['deletion_drop']:.3f} < "
+            f"{CAM_HEALTH_MIN_DELETION_DROP}")
+    if warn_reasons:
+        import warnings
+
+        warnings.warn(
+            "build_pseudo_masks: " + "; ".join(warn_reasons) + " — the "
+            "critic's LayerCAM localization looks DEGENERATE (a no-GT "
+            "instance property accuracy does not reveal; docs/RESULTS.md "
+            "round 5). Distilling from these labels tests nothing: "
+            "retrain the critic with soft trunk-area labels "
+            "(train/critic.py::soft_trunk_labels, `traincritic --labels "
+            "soft`) or another seed until critic_cam_health passes.",
+            stacklevel=2,
+        )
     if not run_crf:
         return thr_masks
     backend = resolve_crf_backend(

@@ -136,3 +136,160 @@ def critic_accuracy(params, frames: np.ndarray, labels: np.ndarray,
     f = frames.astype(np.float32) / 255.0 if frames.dtype == np.uint8 else frames
     preds = score_frames(params, f, batch_size)
     return float(((preds > 0.5) == (np.asarray(labels) > 0.5)).mean())
+
+
+def soft_trunk_labels(gt: np.ndarray, percentile: float = 90.0) -> np.ndarray:
+    """Soft trunk-AREA labels: per-frame trunk pixel count, clipped at the
+    ``percentile``-th positive-frame area and scaled to [0, 1].
+
+    The round-5 CAM-robustness finding (docs/RESULTS.md,
+    docs/artifacts/cam_recipe.json): a BINARY-label critic can reach 1.000
+    holdout accuracy with degenerate LayerCAM — classification saturates on
+    the single most discriminative (or merely co-occurring) feature, so the
+    logit's activation gradients need not cover the object. An area target
+    makes the logit scale with trunk EXTENT, forcing spatially-distributed
+    evidence; it is what separates the CAM-validated bundled critic
+    (0.52 block-1 CAM IoU at 0.888 binary accuracy) from the degenerate
+    fresh ones (≈0.12 at 1.000). Same supervision source as
+    :func:`labels_from_masks` — anywhere binary labels exist, these do too.
+    """
+    counts = np.asarray(gt).reshape(len(gt), -1).sum(axis=1).astype(np.float32)
+    pos = counts[counts > 0]
+    scale = float(np.percentile(pos, percentile)) if len(pos) else 1.0
+    return np.clip(counts / max(scale, 1.0), 0.0, 1.0)
+
+
+def critic_cam_health(
+    params,
+    frames: np.ndarray,
+    *,
+    cam_block: int = 1,
+    threshold: int = 90,
+    batch_size: int = 256,
+    max_frames: int = 512,
+) -> dict:
+    """NO-ground-truth LayerCAM health metrics for a trained critic.
+
+    CAM quality is critic-INSTANCE-dependent in a way accuracy does not
+    reveal (the round-4 finding, docs/RESULTS.md "mask self-distillation"),
+    so every consumer of the LayerCAM mask chain — ``traincritic``, the
+    pseudo-label builder, the `--quality` preset — needs a label-free gate.
+    Metrics (measured discrimination in docs/artifacts/cam_health.json —
+    healthy bundled critic vs a degenerate 1.000-accuracy fresh one):
+
+    * ``deletion_drop`` — mean prediction drop on critic-positive frames
+      when the thresholded-CAM support is erased with the frame's mean
+      color. A faithful CAM covers the evidence, so deleting it guts the
+      prediction: bundled 0.42 vs degenerate 0.08. THE discriminating
+      metric; gate at :data:`CAM_HEALTH_MIN_DELETION_DROP`.
+    * ``cam_top5_mass`` — mean fraction of CAM mass in the top-5% pixels
+      (degenerate maps are spikier: 0.63 vs 0.38). Secondary signal.
+    * ``empty_rate`` / ``positive_fraction`` — the round-4 warning's
+      symptom; measured NOT discriminating at episode scale (0.0 both) but
+      kept: an all-empty CAM is still conclusive.
+
+    Returns a dict of python floats; pure eval (no RNG, no training).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from critic_vae_tpu.models.critic import critic_apply
+    from critic_vae_tpu.ops.mask import normalize_diffs_given_mean
+    from critic_vae_tpu.ops.saliency import critic_saliency
+
+    frames = np.asarray(frames)[:max_frames]
+    f32 = frames.astype(np.float32) / 255.0 if frames.dtype == np.uint8 \
+        else frames.astype(np.float32)
+
+    preds_l, maps_l = [], []
+    for i in range(0, len(f32), batch_size):
+        p, m = critic_saliency(
+            params, jnp.asarray(f32[i : i + batch_size]),
+            method="layercam", cam_block=cam_block)
+        preds_l.append(np.asarray(p))
+        maps_l.append(np.asarray(m))
+    preds = np.concatenate(preds_l)
+    maps = np.concatenate(maps_l)
+
+    mean_max = float(np.mean(maps.max(axis=(1, 2))))
+    if mean_max == 0.0:
+        u8 = np.zeros(maps.shape, np.uint8)
+    else:
+        u8 = np.asarray(normalize_diffs_given_mean(
+            jnp.asarray(maps), np.float32(mean_max)))
+    masks = u8 > threshold
+    pos = preds > 0.5
+
+    out = {"positive_fraction": float(pos.mean()),
+           "n_frames": int(len(frames))}
+    if not pos.any():
+        out.update(empty_rate=1.0, deletion_drop=0.0, cam_top5_mass=1.0)
+        return out
+    out["empty_rate"] = float((~masks[pos].any(axis=(1, 2))).mean())
+
+    fill = f32.mean(axis=(1, 2), keepdims=True)
+    erased = np.where(masks[..., None], fill, f32)
+    p_del_l = []
+    for i in range(0, len(erased), batch_size):
+        p_del_l.append(np.asarray(critic_apply(
+            params, jnp.asarray(erased[i : i + batch_size])))[:, 0])
+    p_del = np.concatenate(p_del_l)
+    out["deletion_drop"] = float((preds[pos] - p_del[pos]).mean())
+
+    flat = maps.reshape(len(maps), -1)
+    k = max(1, flat.shape[1] // 20)
+    top = np.partition(flat, -k, axis=1)[:, -k:].sum(axis=1)
+    tot = np.maximum(flat.sum(axis=1), 1e-9)
+    out["cam_top5_mass"] = float((top[pos] / tot[pos]).mean())
+    return out
+
+
+# Gate for critic_cam_health's deletion_drop: measured healthy ≈ 0.42,
+# degenerate ≈ 0.08 (docs/artifacts/cam_health.json); 0.25 splits the gap
+# with margin on both sides.
+CAM_HEALTH_MIN_DELETION_DROP = 0.25
+
+
+def train_critic_selected(
+    frames: np.ndarray,
+    labels: np.ndarray,
+    *,
+    candidates: int = 4,
+    base_seed: int = 0,
+    health_frames: Optional[np.ndarray] = None,
+    progress: Optional[bool] = True,
+    **train_kw,
+) -> Tuple[dict, dict, list]:
+    """Train ``candidates`` critics (seeds ``base_seed..base_seed+C-1``) and
+    keep the one with the highest NO-ground-truth CAM health
+    (``deletion_drop``, :func:`critic_cam_health`).
+
+    Why selection: CAM quality varies strongly across otherwise-identical
+    training runs even with the CAM-robust soft-label recipe — measured
+    block-1 CAM IoU {0.31, 0.34, 0.56} across three soft-label seeds, and
+    ``deletion_drop`` tracks it monotonically ({0.31, 0.34, 0.68};
+    docs/artifacts/cam_recipe.json) — so picking the argmax-health instance
+    converts instance luck into a reliable recipe without ever touching
+    pixel ground truth. Validated end-to-end in
+    docs/artifacts/cam_select_validation.json: independent seed pools all
+    reach the bundled critic's TTA mask-chain quality.
+
+    Returns ``(best_params, best_health, per_seed_reports)``.
+    """
+    if candidates < 1:
+        raise ValueError(f"candidates must be >= 1, got {candidates}")
+    hf = frames if health_frames is None else health_frames
+    best = None
+    reports = []
+    for c in range(candidates):
+        seed = base_seed + c
+        params, loss = train_critic(
+            frames, labels, seed=seed, progress=progress, **train_kw)
+        health = critic_cam_health(params, hf)
+        reports.append({"seed": seed, "final_loss": float(loss), **health})
+        if progress:
+            print(f"    candidate seed {seed}: deletion_drop="
+                  f"{health['deletion_drop']:.3f}")
+        if best is None or health["deletion_drop"] > best[1]["deletion_drop"]:
+            best = (params, health, seed)
+    return best[0], {**best[1], "selected_seed": best[2]}, reports

@@ -336,3 +336,26 @@ def test_real_episode_runbook_default_paths(workspace, capsys):
     assert "thr_iou=" in out and "crf_iou=" in out
     assert os.path.exists(os.path.join(root, "bin_info_vae1.txt"))
     assert os.path.exists(os.path.join(root, "videos/video-threshold=50.gif"))
+
+
+@requires_reference
+def test_traincritic_soft_labels_and_cam_select(tmp_path, capsys):
+    """Round-5 CAM-robust recipe surface: soft labels are the default, the
+    no-GT health report prints, and --cam-select N trains N candidates and
+    keeps the argmax-deletion_drop one (train/critic.py)."""
+    out = os.path.join(str(tmp_path), "critic-sel.npz")
+    _run(["traincritic", "--root", str(tmp_path), "--synthetic-frames",
+          "128", "--epochs", "1", "--batch-size", "32", "--cam-select", "2",
+          "--out", out])
+    assert os.path.exists(out)
+    text = capsys.readouterr().out
+    assert "soft labels" in text
+    assert "cam health" in text
+    assert "selected_seed" in text
+    # binary labels remain available (the reference checkpoints' recipe)
+    out2 = os.path.join(str(tmp_path), "critic-bin.npz")
+    _run(["traincritic", "--root", str(tmp_path), "--synthetic-frames",
+          "128", "--epochs", "1", "--batch-size", "32", "--labels",
+          "binary", "--no-cam-health", "--out", out2])
+    assert os.path.exists(out2)
+    assert "binary labels" in capsys.readouterr().out

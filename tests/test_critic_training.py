@@ -69,3 +69,60 @@ def test_save_load_npz_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(critic_apply(params, x)), np.asarray(critic_apply(out, x)), atol=1e-7
     )
+
+
+def test_soft_trunk_labels_semantics():
+    from critic_vae_tpu.train.critic import soft_trunk_labels
+
+    gt = np.zeros((4, 8, 8), bool)
+    gt[1, :2, :2] = True   # 4 px
+    gt[2, :4, :4] = True   # 16 px
+    gt[3] = True           # 64 px
+    y = soft_trunk_labels(gt, percentile=100.0)
+    assert y[0] == 0.0
+    assert 0 < y[1] < y[2] < y[3] == 1.0
+    np.testing.assert_allclose(y[1], 4 / 64)
+    # all-empty GT must not divide by zero
+    np.testing.assert_array_equal(
+        soft_trunk_labels(np.zeros((3, 8, 8), bool)), np.zeros(3))
+
+
+def test_cam_health_on_bundled_critic():
+    """Pin the no-GT health gate (round 5, VERDICT r4 #1): the
+    CAM-validated bundled critic must PASS critic_cam_health's
+    deletion_drop gate on the synthetic episode — the same measurement
+    that separates it (0.42) from a degenerate 1.000-accuracy fresh
+    critic (0.08); docs/artifacts/cam_health.json."""
+    import os
+
+    from critic_vae_tpu.models.critic import load_critic
+    from critic_vae_tpu.train.critic import (
+        CAM_HEALTH_MIN_DELETION_DROP,
+        critic_cam_health,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    critic = load_critic(
+        os.path.join(repo, "saved-networks", "critic-synthetic.npz"))
+    frames, _ = generate_frames(128, seed=9999)
+    h = critic_cam_health(critic, frames, max_frames=128)
+    assert set(h) >= {"deletion_drop", "empty_rate", "positive_fraction",
+                      "cam_top5_mass"}
+    assert h["positive_fraction"] > 0.2
+    assert h["deletion_drop"] >= CAM_HEALTH_MIN_DELETION_DROP, h
+    assert h["empty_rate"] <= 0.2, h
+
+
+def test_cam_health_no_positive_frames():
+    """A critic that scores everything negative yields the defined
+    degenerate-health values instead of NaN means over empty slices."""
+    from critic_vae_tpu.train.critic import critic_cam_health
+
+    params = init_critic_params(jax.random.key(0))
+    # fresh-init critics output ~sigmoid(small); force decisively negative
+    params["fc1_b"] = params["fc1_b"] - 10.0
+    frames, _ = generate_frames(32, seed=0)
+    h = critic_cam_health(params, frames, max_frames=32)
+    assert h["positive_fraction"] == 0.0
+    assert h["deletion_drop"] == 0.0
+    assert h["empty_rate"] == 1.0
