@@ -8,7 +8,12 @@ threshold masks — the fused equivalent of the reference's per-frame loop
 Baseline target: >50,000 frames/sec/chip (BASELINE.json north_star; the
 reference publishes no numbers of its own — BASELINE.md).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+honesty stats (median-of-reps, spread) and — round 5, VERDICT r4 #7 —
+``e2e_crf_frames_per_sec``: the CRF-included `eval_episode` end-to-end on a
+fixed 2048-frame synthetic episode (the user-visible number that was
+fetch-bound at 346 f/s in round 3), so the gap between the device mask
+stage and the full pipeline lives in the bench artifact itself.
 """
 
 import json
@@ -124,24 +129,55 @@ def main() -> None:
 
     fps = float(np.median(fps_reps))
     baseline = 50_000.0
-    print(
-        json.dumps(
-            {
-                "metric": "video_pipeline_frames_per_sec_per_chip"
-                if ndev <= 1
-                else f"video_pipeline_frames_per_sec_{ndev}dev_aggregate",
-                "value": round(fps, 1),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / baseline, 3),
-                "reps": reps,
-                "min": round(min(fps_reps), 1),
-                "max": round(max(fps_reps), 1),
-                "spread_pct": round(
-                    100.0 * (max(fps_reps) - min(fps_reps)) / fps, 2
-                ),
-            }
+    line = {
+        "metric": "video_pipeline_frames_per_sec_per_chip"
+        if ndev <= 1
+        else f"video_pipeline_frames_per_sec_{ndev}dev_aggregate",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline, 3),
+        "reps": reps,
+        "min": round(min(fps_reps), 1),
+        "max": round(max(fps_reps), 1),
+        "spread_pct": round(100.0 * (max(fps_reps) - min(fps_reps)) / fps, 2),
+    }
+
+    # CRF-included end-to-end (round 5, VERDICT r4 #7): the user-visible
+    # `eval_episode` + CRF number — device stage, global normalization,
+    # threshold, CRF refinement, thr/crf mask fetches — on a fixed synthetic
+    # episode, as EXTRA FIELDS of the same single JSON line (the driver
+    # contract is one line). This is the workload round 3 measured at
+    # 346 f/s fetch-bound (docs/RESULTS.md); round 5 overlaps device
+    # compute, tunnel fetches, and the CRF, and bit-packs the mask fetches
+    # (pipelines/video.py). BENCH_E2E=0 skips it.
+    if os.environ.get("BENCH_E2E", "1") != "0" and ndev <= 1:
+        from critic_vae_tpu.pipelines.video import eval_episode
+
+        n_e2e = int(os.environ.get("BENCH_E2E_FRAMES", 2048))
+        e2e_frames, e2e_gt = generate_frames(n_e2e, seed=0)
+        e2e_reps = max(1, int(os.environ.get("BENCH_E2E_REPS", 3)))
+        kw = dict(threshold=50, run_crf=True, crf_backend="auto",
+                  with_recons=False, batch_size=batch,
+                  compute_dtype=dtype)
+        eval_episode(vae_params, bn_state, critic_params,
+                     e2e_frames[:batch], e2e_gt[:batch], **kw)  # warm/compile
+        e2e_fps = []
+        res = None
+        for _ in range(e2e_reps):
+            t0 = time.perf_counter()
+            res = eval_episode(vae_params, bn_state, critic_params,
+                               e2e_frames, e2e_gt, **kw)
+            e2e_fps.append(n_e2e / (time.perf_counter() - t0))
+        from critic_vae_tpu.crf.policy import resolve_crf_backend
+
+        line["e2e_crf_frames_per_sec"] = round(float(np.median(e2e_fps)), 1)
+        line["e2e_frames"] = n_e2e
+        line["e2e_crf_backend"] = resolve_crf_backend(
+            "auto", e2e_frames.shape[1], e2e_frames.shape[2]
         )
-    )
+        line["e2e_crf_iou"] = round(float(res.crf_iou), 3)
+
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -97,7 +97,7 @@ def episode_device_stage(
     batch_size: int = 512, *, with_recons: bool = True,
     compute_dtype: str = "float32", mesh=None, recons_u8: bool = False,
     fetch: bool = True, mask_source: str = "diff",
-    saliency_opts: Optional[Dict] = None,
+    saliency_opts: Optional[Dict] = None, prefetch: int = 1,
 ):
     """Run the fused per-frame stage over the episode in padded chunks.
 
@@ -134,9 +134,20 @@ def episode_device_stage(
     padded; N·H·W·4 bytes total) so the caller's global mean-max
     normalization pass can run on device without round-tripping the diff
     stack through the host. ``valids`` holds per-chunk valid frame counts.
-    """
-    from critic_vae_tpu.parallel.mesh import replicate, shard_batch
 
+    ``prefetch`` chunks are dispatched AHEAD of the oldest chunk's blocking
+    fetch (round 5, VERDICT r4 #2): jax dispatch is async, so chunk k+1's
+    upload + device compute overlap chunk k's device→host fetch — the
+    round-3 e2e measurement was fetch-bound at 346 f/s precisely because
+    this loop serialized dispatch→fetch (this mount's tunnel fetches at
+    ~13 MB/s, docs/DESIGN.md). HBM residency stays bounded at
+    ``prefetch + 1`` chunks' outputs. ``prefetch=0`` restores the serial
+    round-3/4 behavior (results are bit-identical either way — the
+    equivalence is pinned in tests/test_video_pipeline.py).
+    """
+    from collections import deque
+
+    from critic_vae_tpu.parallel.mesh import replicate, shard_batch
     sal = dict(logits=False, samples=1, noise=0.0, seed=0, sigma=None,
                method="gradient", cam_block=1, cam_upsample="lanczos3",
                tta_flip=False, tta_shift=0)
@@ -163,7 +174,8 @@ def episode_device_stage(
     outs: Dict[str, List] = {k: [] for k in host_keys}
     diff_chunks: List = []
     valids: List[int] = []
-    for i in range(0, n, batch_size):
+
+    def _dispatch(i: int):
         chunk = frames_f32[i : i + batch_size]
         valid = len(chunk)
         if valid < batch_size:
@@ -187,6 +199,10 @@ def episode_device_stage(
                 else None
             ),
         )
+        return res, valid
+
+    def _drain_one(pending):
+        res, valid = pending.popleft()
         valids.append(valid)
         host = _fetch({k: res[k] for k in host_keys})
         for k in host_keys:
@@ -195,6 +211,14 @@ def episode_device_stage(
             diff_chunks.append(_fetch(res["diff"])[:valid])
         else:
             diff_chunks.append(res["diff"])
+
+    pending: deque = deque()
+    for i in range(0, n, batch_size):
+        pending.append(_dispatch(i))
+        if len(pending) > max(int(prefetch), 0):
+            _drain_one(pending)
+    while pending:
+        _drain_one(pending)
     host_out = {k: np.concatenate(v, axis=0) for k, v in outs.items()}
     if fetch:
         host_out["diff"] = np.concatenate(diff_chunks, axis=0)
@@ -269,24 +293,88 @@ def eval_episode(
     # committed array mixed with global-mesh operands
     mean_max = np.asarray(jnp.mean(jnp.asarray(host["max_value"])))
 
+    # Round-5 overlap (VERDICT r4 #2): the normalize/threshold programs for
+    # EVERY chunk are dispatched up front (their outputs are ~2 B/pixel —
+    # HBM residency is not a concern the way the device stage's recons are),
+    # the device-CRF mean-field is dispatched BEFORE any bulk fetch, and the
+    # host-CRF runs per chunk on a consumer thread as its masks arrive
+    # (ctypes releases the GIL, so the C++ lattice genuinely overlaps the
+    # next chunk's tunnel fetch). Device compute, device→host transfers and
+    # host CRF all overlap; results are bit-identical to the serial order.
     t_arr = np.asarray([threshold], np.int32)
+    norm_chunks = [
+        _normalize_threshold_chunk(diff_chunks[ci], mean_max, t_arr)
+        for ci in range(len(valids))
+    ]
+
+    crf_dev = None
+    host_pool = futures = None
+    if run_crf and crf_backend == "device" and jax.process_count() == 1:
+        from critic_vae_tpu.crf.device import refine_masks_device
+
+        dev_masks = jnp.concatenate(
+            [thr_c[0][:valid] for (_, thr_c), valid in zip(norm_chunks, valids)]
+        )
+        crf_dev = refine_masks_device(
+            frames_u8, dev_masks, crf_params, mesh=mesh, fetch=False
+        )
+    elif run_crf and crf_backend == "host":
+        import concurrent.futures
+
+        host_pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        futures = []
+
+    # Boolean masks fetch as PACKED BITS (ops/mask.py::pack_mask_bits) —
+    # 8× fewer bytes through the ~13 MB/s tunnel for a few VPU ops; numpy
+    # unpackbits is the exact inverse. Falls back to plain bool fetches at
+    # widths not divisible by 8 (no supported episode resolution).
+    from critic_vae_tpu.ops.mask import pack_mask_bits, unpack_mask_bits
+
+    packable = frames_u8.shape[2] % 8 == 0
+    offsets = np.concatenate([[0], np.cumsum(valids)[:-1]])
     diff_parts, thr_parts = [], []
-    for ci, valid in enumerate(valids):
-        u8, thr_c = _normalize_threshold_chunk(diff_chunks[ci], mean_max, t_arr)
-        fetched = _fetch({"u8": u8, "thr": thr_c[0]})
-        diff_parts.append(fetched["u8"][:valid])
-        thr_parts.append(fetched["thr"][:valid])
-    diff_u8 = np.concatenate(diff_parts)
-    thr_masks = np.concatenate(thr_parts)
+    try:
+        for ci, valid in enumerate(valids):
+            u8, thr_c = norm_chunks[ci]
+            want = {"u8": u8, "thr": (
+                pack_mask_bits(thr_c[0]) if packable else thr_c[0]
+            )}
+            fetched = _fetch(want)
+            diff_parts.append(fetched["u8"][:valid])
+            thr = fetched["thr"][:valid]
+            if packable:
+                thr = unpack_mask_bits(thr)
+            thr_parts.append(thr)
+            if host_pool is not None:
+                off = int(offsets[ci])
+                futures.append(host_pool.submit(
+                    _refine, frames_u8[off : off + valid], thr, crf_params,
+                    "host", num_threads,
+                ))
+        diff_u8 = np.concatenate(diff_parts)
+        thr_masks = np.concatenate(thr_parts)
 
-    thr_iou_val = iou(gt, thr_masks) if gt is not None else None
+        thr_iou_val = iou(gt, thr_masks) if gt is not None else None
 
-    crf_masks = crf_iou_val = None
-    if run_crf:
-        crf_masks = _refine(frames_u8, thr_masks, crf_params, crf_backend,
-                            num_threads, mesh=mesh)
-        if gt is not None:
-            crf_iou_val = iou(gt, crf_masks)
+        crf_masks = crf_iou_val = None
+        if run_crf:
+            if crf_dev is not None:
+                if packable:
+                    crf_masks = unpack_mask_bits(
+                        jax.device_get(pack_mask_bits(crf_dev))
+                    )
+                else:
+                    crf_masks = np.asarray(jax.device_get(crf_dev))
+            elif host_pool is not None:
+                crf_masks = np.concatenate([f.result() for f in futures])
+            else:  # device backend under multi-host: collective-safe path
+                crf_masks = _refine(frames_u8, thr_masks, crf_params,
+                                    crf_backend, num_threads, mesh=mesh)
+            if gt is not None:
+                crf_iou_val = iou(gt, crf_masks)
+    finally:
+        if host_pool is not None:
+            host_pool.shutdown(wait=True)
 
     return EpisodeResult(
         preds=host["preds"],

@@ -304,3 +304,27 @@ def test_normalize_diffs_given_mean_matches_two_pass():
         np.asarray(full),
         np.asarray(normalize_diffs_given_mean(diffs, mean_max)),
     )
+
+
+def test_pack_mask_bits_roundtrip():
+    """pack_mask_bits (device) → np.unpackbits (host) is exact for every
+    mask pattern, and rejects widths not divisible by 8."""
+    import pytest
+
+    from critic_vae_tpu.ops.mask import pack_mask_bits, unpack_mask_bits
+
+    rng = np.random.default_rng(0)
+    masks = rng.random((5, 16, 64)) > 0.5
+    packed = pack_mask_bits(jnp.asarray(masks))
+    assert packed.shape == (5, 16, 8)
+    assert packed.dtype == jnp.uint8
+    np.testing.assert_array_equal(unpack_mask_bits(np.asarray(packed)), masks)
+
+    for pattern in (np.zeros((2, 8, 8), bool), np.ones((2, 8, 8), bool)):
+        np.testing.assert_array_equal(
+            unpack_mask_bits(np.asarray(pack_mask_bits(jnp.asarray(pattern)))),
+            pattern,
+        )
+
+    with pytest.raises(ValueError, match="not a multiple of 8"):
+        pack_mask_bits(jnp.zeros((2, 4, 63), bool))

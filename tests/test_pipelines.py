@@ -494,3 +494,58 @@ def test_build_pseudo_masks_warns_on_degenerate_labels():
         warnings.simplefilter("error")
         pm = build_pseudo_masks(critic, frames, run_crf=False, batch_size=8)
     assert pm.any()
+
+
+@requires_reference
+def test_eval_episode_overlap_equivalence(critic_params, synthetic_episode, vae):
+    """Round-5 overlap machinery (VERDICT r4 #2) must be bit-identical to
+    the serial path: double-buffered device stage == prefetch=0, the
+    consumer-thread host CRF == one whole-episode refine_masks call, and
+    bit-packed mask fetches == plain bool fetches."""
+    from critic_vae_tpu.crf import REFERENCE_CRF_PARAMS, refine_masks
+    from critic_vae_tpu.pipelines.video import episode_device_stage, eval_episode
+
+    params, state = vae
+    frames, gt = load_episode(synthetic_episode, episode_slice=None)
+
+    serial = episode_device_stage(
+        params, state, critic_params, frames, 16, prefetch=0
+    )
+    for pf in (1, 3):
+        overlapped = episode_device_stage(
+            params, state, critic_params, frames, 16, prefetch=pf
+        )
+        assert serial.keys() == overlapped.keys()
+        for k in serial:
+            np.testing.assert_array_equal(serial[k], overlapped[k])
+
+    r = eval_episode(
+        params, state, critic_params, frames, gt, batch_size=16,
+        run_crf=True, crf_backend="host",
+    )
+    # per-chunk worker-thread refinement == one whole-episode call (the CRF
+    # is per-frame independent, so chunking must not change anything)
+    ref = refine_masks(frames, r.thr_masks, REFERENCE_CRF_PARAMS)
+    np.testing.assert_array_equal(r.crf_masks, ref)
+    # the packed-bit thr-mask fetch round-trips exactly: recompute the mask
+    # from the returned diff_u8 (same normalize/threshold semantics)
+    np.testing.assert_array_equal(r.thr_masks, r.diff_u8 > 50)
+
+
+@requires_reference
+def test_eval_episode_device_backend_async_dispatch(
+    critic_params, synthetic_episode, vae
+):
+    """The round-5 device-CRF path (dispatched before the bulk fetches,
+    packed-bit fetch) must match the host-mask _refine route it replaced."""
+    from critic_vae_tpu.crf.device import refine_masks_device
+    from critic_vae_tpu.pipelines.video import eval_episode
+
+    params, state = vae
+    frames, gt = load_episode(synthetic_episode, episode_slice=None)
+    r = eval_episode(
+        params, state, critic_params, frames, gt, batch_size=16,
+        run_crf=True, crf_backend="device",
+    )
+    ref = refine_masks_device(frames, r.thr_masks)
+    np.testing.assert_array_equal(r.crf_masks, np.asarray(ref))
