@@ -14,18 +14,29 @@ Two backends implement the same dense-CRF mean-field semantics
 The exact device formulation materializes the N×N pairwise structure, so
 its memory is quadratic in pixel count: at 64² the Gram work fits
 comfortably, at 128² it is feasible-but-heavy (a bf16 N×N matrix is
-537 MB), and at 256² it would need ~8.6 GB for a single frame's matrix —
-past any sensible HBM budget. The resolver below encodes that crossover;
-the measured host-vs-device table at {64², 128², 256²} lives in
-docs/DESIGN.md ("CRF backend crossover", round 4).
+537 MB), and at 256² one frame's matrix is ~8.6 GB — runnable on a 16 GB
+chip only at ``frame_chunk=1`` with nothing else resident. The resolver
+below encodes the measured crossover ({64², 128², 256²} tables in
+docs/DESIGN.md "CRF backend crossover" round 4 + "Round 5", artifacts
+crf_crossover.json / crf_256.json).
 """
 
 from __future__ import annotations
 
-# Largest pixel count the exact device mean-field is allowed to take by
-# default: 128² ⇒ the per-frame N×N bf16 matrix is 537 MB, which the
-# chunked builds handle; one step further (256²) needs ~8.6 GB/frame.
+# Largest pixel count ``auto`` hands to the exact device mean-field:
+# 128² ⇒ the per-frame N×N bf16 matrix is 537 MB, which the chunked builds
+# handle and the measured margin still favors (1.9× the host lattice,
+# docs/artifacts/crf_crossover.json).
 DEVICE_MAX_PIXELS = 128 * 128
+
+# Largest pixel count an EXPLICIT ``--crf-backend device`` request accepts.
+# Round 5 measured the Pallas-streamed build at 256² on the real chip:
+# 168.5 ms/frame, 1.61× the host lattice, mask agreement 1.0
+# (docs/artifacts/crf_256.json) — legal, but auto stays on host there: the
+# win is marginal while the run monopolizes HBM (8.6 GB/frame at
+# frame_chunk=1, crf/device.py's memory clamp) and cold-compiles for
+# ~2.4 min. Past 256² the matrix alone exceeds the chip (512² ⇒ 137 GB).
+DEVICE_HARD_MAX_PIXELS = 256 * 256
 
 
 def resolve_crf_backend(
@@ -47,9 +58,10 @@ def resolve_crf_backend(
     ``video --sweep`` ran 13 sequential host-lattice CRFs unless the user
     knew to pass ``--crf-backend device`` (VERDICT r3 #7).
 
-    An explicit ``device`` request past the memory budget raises loudly and
-    steers to ``host`` (VERDICT r3 #8) instead of letting the chip OOM
-    minutes into a compile.
+    An explicit ``device`` request is honored up to
+    ``DEVICE_HARD_MAX_PIXELS`` (256² — measured legal and 1.61× the host
+    lattice, round 5) and raises loudly past that (VERDICT r3 #8) instead
+    of letting the chip OOM minutes into a compile.
     """
     if requested not in ("auto", "host", "device"):
         raise ValueError(
@@ -57,7 +69,7 @@ def resolve_crf_backend(
         )
     npix = int(h) * int(w)
     if requested == "device":
-        if npix > DEVICE_MAX_PIXELS:
+        if npix > DEVICE_HARD_MAX_PIXELS:
             raise ValueError(
                 f"crf backend 'device' is the EXACT O(N²) mean-field; at "
                 f"{h}x{w} its per-frame pairwise matrix alone is "
