@@ -340,6 +340,14 @@ def build_parser() -> argparse.ArgumentParser:
         "varies strongly across identical runs — round-5 finding, "
         "train/critic.py::train_critic_selected). N=1 (default) trains "
         "one critic; N=4 is the validated CAM-grade recipe")
+    tc.add_argument(
+        "--cam-health-target", type=float, default=None, metavar="D",
+        help="with --cam-select N: stop as soon as a candidate's "
+        "deletion_drop reaches D instead of always training the full pool "
+        "(the retry recipe — a pool's argmax can still be a weak-CAM "
+        "instance; measured drop→chain-IoU threshold in "
+        "docs/artifacts/cam_health_target.json). If no candidate reaches "
+        "D, the best is kept and a warning is printed")
     tc.add_argument("--out", default=None, help="output critic .npz path")
 
     x = sub.add_parser(
@@ -870,9 +878,16 @@ def cmd_traincritic(args) -> int:
             base_seed=args.seed, epochs=args.epochs,
             batch_size=args.batch_size, learning_rate=args.lr,
             dropout_rate=args.dropout,
+            health_target=args.cam_health_target,
         )
         loss = next(r["final_loss"] for r in reports
                     if r["seed"] == health["selected_seed"])
+        if health.get("health_target_met") is False and _primary():
+            print(f"WARNING: no candidate reached --cam-health-target "
+                  f"{args.cam_health_target} within {args.cam_select} seeds "
+                  f"(best deletion_drop {health['deletion_drop']:.3f}); "
+                  f"keeping the best — consider rerunning with a later "
+                  f"--seed or a larger --cam-select")
     else:
         params, loss = train_critic(
             frames, labels, epochs=args.epochs, batch_size=args.batch_size,

@@ -113,6 +113,55 @@ def test_cam_health_on_bundled_critic():
     assert h["empty_rate"] <= 0.2, h
 
 
+def test_train_critic_selected_health_target(monkeypatch):
+    """health_target semantics (round 5): early-stop on the FIRST candidate
+    reaching the target; argmax + health_target_met=False when none does;
+    unchanged fixed-pool argmax when no target is given. Training and
+    health are scripted per seed so the selection logic is exercised
+    without real training."""
+    from critic_vae_tpu.train import critic as tc
+
+    drops = {0: 0.30, 1: 0.70, 2: 0.90, 3: 0.10}
+    trained = []
+
+    def fake_train(frames, labels, *, seed, progress, **kw):
+        trained.append(seed)
+        return {"seed_marker": seed}, 0.01
+
+    def fake_health(params, hf, **kw):
+        return {"deletion_drop": drops[params["seed_marker"]],
+                "empty_rate": 0.0, "positive_fraction": 0.5,
+                "cam_top5_mass": 0.3, "n_frames": 8}
+
+    monkeypatch.setattr(tc, "train_critic", fake_train)
+    monkeypatch.setattr(tc, "critic_cam_health", fake_health)
+    frames = np.zeros((8, 64, 64, 3), np.uint8)
+    labels = np.zeros(8, np.float32)
+
+    # early stop: seed 1 hits 0.65 -> seed 2 never trains
+    params, health, reports = tc.train_critic_selected(
+        frames, labels, candidates=4, health_target=0.65, progress=False)
+    assert trained == [0, 1]
+    assert health["selected_seed"] == 1 and health["health_target_met"]
+    assert len(reports) == 2
+
+    # target never reached: argmax fallback, flagged
+    trained.clear()
+    params, health, _ = tc.train_critic_selected(
+        frames, labels, candidates=4, health_target=0.95, progress=False)
+    assert trained == [0, 1, 2, 3]
+    assert health["selected_seed"] == 2
+    assert health["health_target_met"] is False
+
+    # no target: full pool, plain argmax, no flag key
+    trained.clear()
+    params, health, _ = tc.train_critic_selected(
+        frames, labels, candidates=4, progress=False)
+    assert trained == [0, 1, 2, 3]
+    assert health["selected_seed"] == 2
+    assert "health_target_met" not in health
+
+
 def test_cam_health_no_positive_frames():
     """A critic that scores everything negative yields the defined
     degenerate-health values instead of NaN means over empty slices."""
