@@ -345,7 +345,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="with --cam-select N: stop as soon as a candidate's "
         "deletion_drop reaches D instead of always training the full pool "
         "(the retry recipe — a pool's argmax can still be a weak-CAM "
-        "instance; measured drop→chain-IoU threshold in "
+        "instance). D=0.65 is the measured CAM-GRADE bar: every instance "
+        "above it beat the bundled critic's mask chain, none below it "
+        "matched it, at a ~3%%/run hit rate — size N accordingly "
+        "(train/critic.py::CAM_HEALTH_TARGET_STRICT, "
         "docs/artifacts/cam_health_target.json). If no candidate reaches "
         "D, the best is kept and a warning is printed")
     tc.add_argument("--out", default=None, help="output critic .npz path")

@@ -249,6 +249,18 @@ def critic_cam_health(
 # with margin on both sides.
 CAM_HEALTH_MIN_DELETION_DROP = 0.25
 
+# Strict gate for CAM-GRADE critics (round 5, docs/artifacts/
+# cam_health_target.json): across 64 soft-label instances, BOTH candidates
+# with deletion_drop above ~0.65 reached — and beat — the bundled critic's
+# TTA mask chain (thr/CRF IoU 0.61/0.90 and 0.64/0.96 vs 0.58/0.84) on all
+# three episode seeds, while none of the 62 below it passed the 0.05
+# acceptance bar (drop→thr-IoU Spearman 0.80). Qualifying instances occur
+# at ~3% per training run, so this is a RETRY gate
+# (``train_critic_selected(health_target=...)``, `traincritic
+# --cam-health-target`), not a pool-argmax criterion — expect a geometric
+# number of candidates (measured runs: 3, 9, >40).
+CAM_HEALTH_TARGET_STRICT = 0.65
+
 
 def train_critic_selected(
     frames: np.ndarray,

@@ -113,6 +113,33 @@ def test_cam_health_on_bundled_critic():
     assert h["empty_rate"] <= 0.2, h
 
 
+def test_gated_bundled_critic_passes_strict_gate():
+    """Pin the CAM-GRADE bundled critic (round 5): the health-target retry
+    recipe's selected instance (seed 208 of the soft15 sweep,
+    docs/artifacts/cam_health_target.json — its TTA chain measured
+    0.64/0.96 thr/CRF IoU, beating the round-4 flagship 0.58/0.84) ships
+    at saved-networks/critic-synthetic-gated.npz and must keep passing the
+    strict deletion_drop gate it was selected by (0.668 measured at this
+    exact 128-frame scale on CPU; asserted with margin)."""
+    import os
+
+    from critic_vae_tpu.models.critic import load_critic
+    from critic_vae_tpu.train.critic import (
+        CAM_HEALTH_MIN_DELETION_DROP,
+        CAM_HEALTH_TARGET_STRICT,
+        critic_cam_health,
+    )
+
+    assert CAM_HEALTH_TARGET_STRICT > CAM_HEALTH_MIN_DELETION_DROP
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    critic = load_critic(
+        os.path.join(repo, "saved-networks", "critic-synthetic-gated.npz"))
+    frames, _ = generate_frames(128, seed=9999)
+    h = critic_cam_health(critic, frames, max_frames=128)
+    assert h["deletion_drop"] >= 0.5, h
+    assert h["empty_rate"] <= 0.05, h
+
+
 def test_train_critic_selected_health_target(monkeypatch):
     """health_target semantics (round 5): early-stop on the FIRST candidate
     reaching the target; argmax + health_target_met=False when none does;
