@@ -108,14 +108,16 @@ def main(out_dir="/tmp/cvt-fullstack"):
     # accuracy yet its LayerCAM localization is degenerate — 0.1 thr /
     # 0.007 CRF when it was demoed here, the same failure the round-4
     # distill run hit; docs/RESULTS.md "mask self-distillation"). The
-    # bundled critic-synthetic.npz is the golden-pinned CAM-validated
-    # instance every saliency number is measured with.
+    # bundled critic-synthetic-gated.npz is the round-5 health-GATE-selected
+    # instance (deletion_drop 0.685 >= CAM_HEALTH_TARGET_STRICT; chain
+    # measured 0.64 thr / 0.96 CRF IoU on this very episode seed —
+    # docs/artifacts/cam_health_target.json).
     from critic_vae_tpu.models.critic import load_critic
     from critic_vae_tpu.pipelines.video import threshold_sweep
 
     cam_critic = load_critic(os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "saved-networks", "critic-synthetic.npz"))
+        "saved-networks", "critic-synthetic-gated.npz"))
     sal = {"method": "layercam", "tta_flip": True, "tta_shift": 2}
     sweep = threshold_sweep(
         params, bn, cam_critic, ep_frames, ep_gt,
